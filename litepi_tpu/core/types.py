@@ -1,0 +1,138 @@
+"""Typed configuration for the framework.
+
+The reference configures its detector through Ultralytics YAML dicts
+(reference: train_model/train-yolo-custom-tt100k.ipynb cells 28/30) and its
+pipeline through per-script argparse flags (reference: src/tt100k/pipeline/
+e2e.py:1014-1050).  Here both collapse into frozen dataclasses: one typed
+config drives model construction, the fused pipeline, the eval harness and the
+CLI, so every entry point agrees on shapes and thresholds.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+
+def make_divisible(x: float, divisor: int = 8) -> int:
+    """Round channel count up to the nearest multiple of ``divisor``.
+
+    Matches the channel rounding the reference's exporter applied: the shipped
+    yolo_plus_v2 graph has a 16-channel stem because 48 * 0.25 = 12 rounds up
+    to 16 (reference: model.ncnn.param:4 conv 0=16).
+    """
+    return int(math.ceil(x / divisor) * divisor)
+
+
+def scale_depth(n: int, depth: float) -> int:
+    """Scale a block-repeat count, never below one repeat."""
+    return max(round(n * depth), 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    """Architecture hyper-parameters for the YOLO-LitePi detector family.
+
+    ``base_channels`` are the pre-scale stage widths (stem..P5) and
+    ``base_depths`` the pre-scale C2f repeat counts, mirroring how the
+    reference's YAML generator parameterises variants (reference:
+    train_model/revision-ablation-study.ipynb cell 6).  Effective widths are
+    ``make_divisible(base * width)``.
+
+    Note the exported reference graphs use ``reg_max=16`` even though the YAML
+    asked for 8 — Ultralytics ignored the top-level key (reference:
+    model.ncnn.param:188-189, split 64/1).  We default to 16 for weight parity.
+    """
+
+    name: str = "yolo_plus_v2"
+    num_classes: int = 1
+    base_channels: Tuple[int, ...] = (48, 96, 192, 384, 768)
+    base_depths: Tuple[int, ...] = (3, 6, 6, 3)
+    width: float = 0.25
+    depth: float = 0.33
+    reg_max: int = 16
+    input_size: int = 640
+    strides: Tuple[int, ...] = (8, 16, 32)
+
+    @property
+    def channels(self) -> Tuple[int, ...]:
+        return tuple(make_divisible(c * self.width) for c in self.base_channels)
+
+    @property
+    def depths(self) -> Tuple[int, ...]:
+        return tuple(scale_depth(n, self.depth) for n in self.base_depths)
+
+    @property
+    def num_anchors(self) -> int:
+        return sum((self.input_size // s) ** 2 for s in self.strides)
+
+    @property
+    def reg_channels(self) -> int:
+        """Width of the Detect head's box branch: max(16, P3/4, 4*reg_max)."""
+        return max(16, self.channels[2] // 4, 4 * self.reg_max)
+
+    @property
+    def cls_channels(self) -> int:
+        """Width of the Detect head's class branch: max(P3, min(nc, 100))."""
+        return max(self.channels[2], min(self.num_classes, 100))
+
+
+# The shipped TT100K detector: stem 16 -> 24 -> 48 -> 96 -> 192, C2f x(1,2,2,1)
+# (reference: src/tt100k/convert/model/yolo_plus/yolo_plus_ncnn_model/
+# model.ncnn.param:3-208; ~1.8M params / 5.2 GFLOPs per README.md:14).
+YOLO_PLUS_V2 = DetectorConfig(name="yolo_plus_v2")
+
+# The shipped VN-Signs detector: same topology at half width (stem 8, ~0.97M
+# params; reference: src/vntsr/convert/model/yolo_plus/yolo_plus_ncnn_model/
+# model.ncnn.param:2, metadata.yaml "YOLO_plus_v1").
+YOLO_PLUS_V1 = DetectorConfig(
+    name="yolo_plus_v1", base_channels=(32, 64, 128, 256, 512)
+)
+
+# Stock YOLOv8n widths for baseline-parity runs (reference README.md:40).
+YOLOV8N = DetectorConfig(name="yolov8n", base_channels=(64, 128, 256, 512, 1024))
+
+
+@dataclasses.dataclass(frozen=True)
+class NMSConfig:
+    """Fixed-shape postprocess contract.
+
+    The reference filters by confidence then runs exact greedy per-class NMS on
+    a variable number of candidates (reference: e2e.py:240-296).  On TPU the
+    candidate set must be static: we keep the top ``max_candidates`` scores,
+    suppress with a masked O(k^2) pass, and emit exactly ``max_detections``
+    padded slots per image.
+    """
+
+    conf_threshold: float = 0.25
+    iou_threshold: float = 0.45
+    max_candidates: int = 512
+    max_detections: int = 64
+    min_area: float = 50.0  # pixel-area floor for ROI crops (e2e.py --min_area)
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end two-stage pipeline configuration.
+
+    Mirrors the reference CLI surface (e2e.py:1014-1050): detector input 640,
+    classifier input 64, batch size, and the two-pass conf protocol
+    (``benchmark_conf`` for timed runs, ``yolo_conf`` for the low-conf mAP
+    pass).
+    """
+
+    detector: DetectorConfig = YOLO_PLUS_V2
+    nms: NMSConfig = NMSConfig()
+    classifier_arch: str = "shufflenetv2"
+    num_classifier_classes: int = 91  # TT100K crops; VN-Signs uses 49
+    det_input_size: int = 640
+    cls_input_size: int = 64
+    batch_size: int = 8
+    yolo_conf: float = 0.001
+    benchmark_conf: float = 0.25
+    # Dataset crop-normalisation stats.  The reference e2e path uses scalar
+    # mean/std 0.18/0.34 computed from the TT100K crop set (e2e.py:369).
+    cls_mean: Tuple[float, float, float] = (0.18, 0.18, 0.18)
+    cls_std: Tuple[float, float, float] = (0.34, 0.34, 0.34)
+    compute_dtype: str = "bfloat16"  # MXU-native; params stay float32

@@ -1,0 +1,49 @@
+"""Distribution Focal Loss (DFL) box decode.
+
+The exported reference graph decodes boxes in-graph: reshape the 64-channel
+regression output to (16 bins, 4 sides), softmax over bins, then a 1x1 conv
+whose fixed weights are [0..15] — i.e. the expectation of the bin distribution
+— followed by anchor-point add and stride multiply (reference:
+model.ncnn.param:184-195).  Here that whole chain is a few fused vector ops.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def dfl_decode(reg_logits: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
+    """Softmax-expectation decode of per-side distance distributions.
+
+    reg_logits: (..., A, 4 * reg_max) raw head output, bin-major per side in
+    the Ultralytics layout (reshape to (4, reg_max) per anchor).
+    Returns (..., A, 4) distances (l, t, r, b) in feature-map units.
+    """
+    shape = reg_logits.shape[:-1] + (4, reg_max)
+    probs = jax.nn.softmax(reg_logits.reshape(shape), axis=-1)
+    bins = jnp.arange(reg_max, dtype=probs.dtype)
+    return jnp.sum(probs * bins, axis=-1)
+
+
+def decode_boxes(
+    distances: jnp.ndarray,
+    anchor_points: jnp.ndarray,
+    strides: jnp.ndarray,
+    xywh: bool = True,
+) -> jnp.ndarray:
+    """Turn (l, t, r, b) distances into boxes in input-pixel space.
+
+    distances: (..., A, 4); anchor_points: (A, 2); strides: (A, 1).
+    The reference's exported graph emits xywh (then its numpy postprocess
+    converts to xyxy — e2e.py:266-270); both layouts are offered so the fused
+    pipeline can skip the round-trip.
+    """
+    lt, rb = distances[..., :2], distances[..., 2:]
+    x1y1 = anchor_points - lt
+    x2y2 = anchor_points + rb
+    if xywh:
+        c = (x1y1 + x2y2) * 0.5
+        wh = x2y2 - x1y1
+        return jnp.concatenate([c, wh], axis=-1) * strides
+    return jnp.concatenate([x1y1, x2y2], axis=-1) * strides

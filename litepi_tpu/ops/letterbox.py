@@ -1,0 +1,115 @@
+"""Letterbox resize: aspect-preserving resize + grey padding to a square.
+
+The reference letterboxes on the host with cv2 (reference: e2e.py:66-86):
+``r = min(new/h, new/w)``, resize with INTER_LINEAR, then pad to 640x640 with
+value 114, splitting the padding as ``round(d - 0.1)`` top/left and
+``round(d + 0.1)`` bottom/right.
+
+We provide three implementations:
+
+* :func:`letterbox_host` — exact cv2 behaviour, used when parity with the
+  reference CSV numbers matters (cv2's INTER_LINEAR has no antialiasing).
+* :func:`letterbox_device` — pure-JAX, runs inside the jitted program.  Uses
+  half-pixel-center bilinear sampling without antialiasing, which matches
+  cv2.INTER_LINEAR semantics to float rounding.  Shapes must be static, so the
+  source resolution is a compile-time constant (one compiled program per
+  camera resolution — the serving-path assumption).
+* :func:`letterbox_params` — the (ratio, dw, dh) mapping both share, needed to
+  un-map boxes back to original pixel coordinates.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PAD_VALUE = 114
+
+
+def letterbox_params(
+    h: int, w: int, new_shape: int = 640
+) -> Tuple[float, float, float, Tuple[int, int], Tuple[int, int, int, int]]:
+    """Compute the reference's letterbox geometry.
+
+    Returns ``(ratio, dw, dh, (new_w, new_h), (top, bottom, left, right))``
+    where dw/dh are the half-padding *before* the asymmetric rounding split
+    (reference: e2e.py:74-83).
+    """
+    r = min(new_shape / h, new_shape / w)
+    new_w, new_h = int(round(w * r)), int(round(h * r))
+    dw = (new_shape - new_w) / 2
+    dh = (new_shape - new_h) / 2
+    top = int(round(dh - 0.1))
+    bottom = int(round(dh + 0.1))
+    left = int(round(dw - 0.1))
+    right = int(round(dw + 0.1))
+    return r, dw, dh, (new_w, new_h), (top, bottom, left, right)
+
+
+def letterbox_host(
+    image: np.ndarray, new_shape: int = 640
+) -> Tuple[np.ndarray, float, Tuple[float, float]]:
+    """cv2-exact letterbox on the host. ``image`` is HWC uint8 (any colour
+    order — this op is colour-agnostic).  Returns (canvas, ratio, (dw, dh))."""
+    import cv2
+
+    h, w = image.shape[:2]
+    r, dw, dh, (new_w, new_h), (top, bottom, left, right) = letterbox_params(
+        h, w, new_shape
+    )
+    if (new_w, new_h) != (w, h):
+        image = cv2.resize(image, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
+    image = cv2.copyMakeBorder(
+        image, top, bottom, left, right, cv2.BORDER_CONSTANT,
+        value=(PAD_VALUE, PAD_VALUE, PAD_VALUE),
+    )
+    return image, r, (dw, dh)
+
+
+def _bilinear_resize_no_aa(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Half-pixel-center bilinear resize without antialiasing (cv2.INTER_LINEAR
+    semantics) for a single HWC image, as a gather — XLA fuses this well and it
+    avoids jax.image.resize's antialias filter, which cv2 does not apply."""
+    in_h, in_w = img.shape[0], img.shape[1]
+    img = img.astype(jnp.float32)
+
+    def axis_coords(out_n: int, in_n: int):
+        # src = (dst + 0.5) * in/out - 0.5, clamped like cv2's border replicate
+        src = (jnp.arange(out_n, dtype=jnp.float32) + 0.5) * (in_n / out_n) - 0.5
+        src = jnp.clip(src, 0.0, in_n - 1.0)
+        lo = jnp.floor(src).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, in_n - 1)
+        frac = src - lo.astype(jnp.float32)
+        return lo, hi, frac
+
+    y0, y1, fy = axis_coords(out_h, in_h)
+    x0, x1, fx = axis_coords(out_w, in_w)
+
+    top = img[y0][:, x0] * (1 - fx)[None, :, None] + img[y0][:, x1] * fx[None, :, None]
+    bot = img[y1][:, x0] * (1 - fx)[None, :, None] + img[y1][:, x1] * fx[None, :, None]
+    return top * (1 - fy)[:, None, None] + bot * fy[:, None, None]
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def letterbox_device(images: jnp.ndarray, new_shape: int = 640) -> jnp.ndarray:
+    """In-graph letterbox for a batch of same-resolution frames.
+
+    ``images``: (B, H, W, 3) uint8.  Returns (B, new, new, 3) float32 in
+    [0, 255] (normalisation happens in the model's preprocessing so the two
+    stay fused).  Geometry matches :func:`letterbox_params` exactly; resize is
+    non-antialiased bilinear, matching cv2.INTER_LINEAR.
+    """
+    b, h, w = images.shape[0], images.shape[1], images.shape[2]
+    r, dw, dh, (new_w, new_h), (top, bottom, left, right) = letterbox_params(
+        h, w, new_shape
+    )
+    resized = jax.vmap(lambda im: _bilinear_resize_no_aa(im, new_h, new_w))(images)
+    canvas = jnp.full(
+        (b, new_shape, new_shape, 3), float(PAD_VALUE), dtype=jnp.float32
+    )
+    canvas = jax.lax.dynamic_update_slice(canvas, resized, (0, top, left, 0))
+    return canvas

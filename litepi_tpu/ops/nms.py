@@ -1,0 +1,142 @@
+"""Non-maximum suppression: fixed-shape on-device, plus a numpy oracle.
+
+The reference runs exact greedy per-class NMS in numpy after a confidence
+filter, with a 1e-6 IoU epsilon and descending stable score order
+(reference: e2e.py:89-119 ``nms_numpy``; per-class dispatch at :280-296).
+That is a data-dependent-shape algorithm; under XLA everything must be static.
+
+:func:`nms_fixed` keeps the exact greedy *semantics* on a static budget:
+
+1. confidence filter -> top-``max_candidates`` candidates by score
+   (``lax.top_k`` — candidates beyond the budget are the lowest-scoring tail,
+   matching Ultralytics' max-det style capping),
+2. per-class behaviour via the class-offset trick (shift each class's boxes to
+   a disjoint coordinate island so cross-class IoU is 0 — one class-agnostic
+   pass covers all classes),
+3. one K x K IoU matrix + a K-step masked greedy suppression scan: box *i* is
+   kept iff no higher-scoring *kept* box overlaps it above the threshold —
+   identical to the sequential greedy loop,
+4. compact survivors into exactly ``max_detections`` padded slots.
+
+:func:`nms_numpy_reference` is the golden oracle used by the tests — a fresh
+implementation of the reference's algorithm contract.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from litepi_tpu.ops.boxes import box_iou
+
+# Coordinate-island spacing for the class-offset trick; larger than any input
+# coordinate (detector space is 640, original images are a few thousand px).
+_CLASS_OFFSET = 1.0e5
+
+
+def nms_numpy_reference(
+    boxes: np.ndarray, scores: np.ndarray, iou_threshold: float
+) -> np.ndarray:
+    """Exact greedy NMS oracle matching the reference contract
+    (e2e.py:89-119): descending score order via ``argsort()[::-1]``, O(n^2)
+    suppression, IoU denominator epsilon 1e-6.  Returns kept indices."""
+    if boxes.size == 0:
+        return np.zeros((0,), dtype=np.int64)
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    areas = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
+    order = scores.argsort()[::-1]
+    keep = []
+    while order.size > 0:
+        i = order[0]
+        keep.append(i)
+        rest = order[1:]
+        xx1 = np.maximum(x1[i], x1[rest])
+        yy1 = np.maximum(y1[i], y1[rest])
+        xx2 = np.minimum(x2[i], x2[rest])
+        yy2 = np.minimum(y2[i], y2[rest])
+        inter = np.maximum(xx2 - xx1, 0) * np.maximum(yy2 - yy1, 0)
+        iou = inter / (areas[i] + areas[rest] - inter + 1e-6)
+        order = rest[iou <= iou_threshold]
+    return np.asarray(keep, dtype=np.int64)
+
+
+def _nms_single(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    class_ids: jnp.ndarray,
+    conf_threshold: float,
+    iou_threshold: float,
+    max_candidates: int,
+    max_detections: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    num = boxes.shape[0]
+    k = min(max_candidates, num)
+
+    masked_scores = jnp.where(scores > conf_threshold, scores, -1.0)
+    top_scores, top_idx = jax.lax.top_k(masked_scores, k)
+    cand_boxes = boxes[top_idx]
+    cand_cls = class_ids[top_idx]
+    cand_valid = top_scores > conf_threshold
+
+    shifted = cand_boxes + (cand_cls.astype(jnp.float32) * _CLASS_OFFSET)[:, None]
+    iou = box_iou(shifted, shifted)
+    j_indices = jnp.arange(k)
+
+    def body(i, suppressed):
+        keep_i = cand_valid[i] & ~suppressed[i]
+        row = (iou[i] > iou_threshold) & keep_i & (j_indices > i)
+        return suppressed | row
+
+    suppressed = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), dtype=bool))
+    keep = cand_valid & ~suppressed
+
+    # Survivors are already score-sorted; compact the first max_detections.
+    kept_scores = jnp.where(keep, top_scores, -1.0)
+    if max_detections > k:  # tiny-input edge case: pad the candidate set
+        pad = max_detections - k
+        kept_scores = jnp.pad(kept_scores, (0, pad), constant_values=-1.0)
+        cand_boxes = jnp.pad(cand_boxes, ((0, pad), (0, 0)))
+        cand_cls = jnp.pad(cand_cls, (0, pad), constant_values=-1)
+    out_scores, sel = jax.lax.top_k(kept_scores, max_detections)
+    out_valid = out_scores > conf_threshold
+    out_boxes = jnp.where(out_valid[:, None], cand_boxes[sel], 0.0)
+    out_cls = jnp.where(out_valid, cand_cls[sel], -1)
+    out_scores = jnp.where(out_valid, out_scores, 0.0)
+    return out_boxes, out_scores, out_cls, out_valid
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def nms_fixed(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    class_ids: jnp.ndarray,
+    conf_threshold: float = 0.25,
+    iou_threshold: float = 0.45,
+    max_candidates: int = 512,
+    max_detections: int = 64,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fixed-shape batched greedy NMS.
+
+    Parameters
+    ----------
+    boxes : (B, A, 4) or (A, 4) xyxy
+    scores : (B, A) or (A,)
+    class_ids : same leading shape, int32
+
+    Returns padded ``(boxes (.., D, 4), scores (.., D), class_ids (.., D),
+    valid (.., D) bool)`` with D = ``max_detections``, score-descending.
+    """
+    fn = functools.partial(
+        _nms_single,
+        conf_threshold=conf_threshold,
+        iou_threshold=iou_threshold,
+        max_candidates=max_candidates,
+        max_detections=max_detections,
+    )
+    if boxes.ndim == 2:
+        return fn(boxes, scores, class_ids)
+    return jax.vmap(fn)(boxes, scores, class_ids)
