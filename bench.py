@@ -1,0 +1,77 @@
+"""End-to-end throughput benchmark on real hardware.
+
+Measures the headline metric from BASELINE.json: e2e frames/sec/chip at
+640x640 through the fused two-stage program (letterbox -> detector -> DFL
+decode -> NMS -> ROI crop -> classifier), flagship yolo_plus_v2 +
+ShuffleNetV2-91.  Reference baseline: the Pi-5 NCNN pipeline's 13.23 FPS on
+TT100K (src/tt100k/pipeline/output_eval/comparison_summary.csv:4).
+
+Prints exactly ONE JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+REFERENCE_E2E_FPS = 13.23
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from litepi_tpu.core.types import PipelineConfig
+    from litepi_tpu.pipeline import TwoStagePipeline
+
+    cfg = PipelineConfig()
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    pipe = TwoStagePipeline.initialize(cfg, seed=0, dtype=dtype)
+
+    rng = np.random.default_rng(0)
+    frames_host = rng.integers(0, 256, (args.batch, 640, 640, 3), dtype=np.uint8)
+    # keep input on device so we measure compute, not PCIe staging; the
+    # streaming input path is benchmarked separately
+    frames = jax.device_put(frames_host)
+
+    def run():
+        return pipe.run_fused(frames, conf_threshold=cfg.benchmark_conf)
+
+    for _ in range(args.warmup):
+        jax.block_until_ready(run())
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = run()
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    fps = args.batch * args.iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_frames_per_sec_640",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / REFERENCE_E2E_FPS, 2),
+                "batch": args.batch,
+                "dtype": args.dtype,
+                "device": str(jax.devices()[0]),
+                "latency_ms_per_batch": round(dt / args.iters * 1e3, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,148 @@
+"""The YOLO-LitePi detector as a native Flax model.
+
+Re-creates the capability of the reference's exported ``yolo_plus`` graphs
+(reference: src/tt100k/convert/model/yolo_plus/yolo_plus_ncnn_model/
+model.ncnn.param:3-208 — a channel-pruned anchor-free YOLOv8-derived detector)
+from a typed :class:`~litepi_tpu.core.types.DetectorConfig` instead of a YAML:
+
+* backbone: stem -> 4 stages of (strided ConvBN + C2f) -> SPPF
+  (stem 16ch -> 24 -> 48 -> 96 -> 192 for yolo_plus_v2; C2f repeats 1/2/2/1);
+* PAN-FPN neck: top-down upsample+concat+C2f, bottom-up downsample+concat+C2f;
+* decoupled anchor-free head per P3/P4/P5: a 4*reg_max-channel DFL box branch
+  (64ch at reg_max=16 — model.ncnn.param:151-155) and an nc-channel class
+  branch (48ch hidden — :156-160).
+
+The model returns raw flattened head outputs; the DFL decode / anchor table /
+sigmoid live in :mod:`litepi_tpu.ops` so training (which needs raw
+distributions for the DFL loss) and serving share one forward graph.
+
+Layout is NHWC end-to-end; anchors flatten row-major (y, x) per level,
+P3..P5 concatenated — identical to the reference's (65, 8400) ordering.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from litepi_tpu.core.types import DetectorConfig
+from litepi_tpu.models.layers import C2f, ConvBN, SPPF, upsample2x_nearest
+
+
+class Backbone(nn.Module):
+    cfg: DetectorConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        c = self.cfg.channels  # (stem, p2, p3, p4, p5)
+        d = self.cfg.depths  # C2f repeats per stage
+        dt = self.dtype
+
+        x = ConvBN(c[0], 3, 2, dtype=dt, name="stem")(x, train)  # P1/2
+        x = ConvBN(c[1], 3, 2, dtype=dt, name="down1")(x, train)  # P2/4
+        x = C2f(c[1], d[0], shortcut=True, dtype=dt, name="c2f1")(x, train)
+        x = ConvBN(c[2], 3, 2, dtype=dt, name="down2")(x, train)  # P3/8
+        p3 = C2f(c[2], d[1], shortcut=True, dtype=dt, name="c2f2")(x, train)
+        x = ConvBN(c[3], 3, 2, dtype=dt, name="down3")(p3, train)  # P4/16
+        p4 = C2f(c[3], d[2], shortcut=True, dtype=dt, name="c2f3")(x, train)
+        x = ConvBN(c[4], 3, 2, dtype=dt, name="down4")(p4, train)  # P5/32
+        x = C2f(c[4], d[3], shortcut=True, dtype=dt, name="c2f4")(x, train)
+        p5 = SPPF(c[4], 5, dtype=dt, name="sppf")(x, train)
+        return p3, p4, p5
+
+
+class PANNeck(nn.Module):
+    """Path-aggregation neck: top-down then bottom-up feature fusion."""
+
+    cfg: DetectorConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        feats: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+        train: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        p3, p4, p5 = feats
+        c = self.cfg.channels
+        # neck C2f repeats mirror the first backbone stage's scaled depth
+        n = self.cfg.depths[0]
+        dt = self.dtype
+
+        # top-down
+        t4 = jnp.concatenate([upsample2x_nearest(p5), p4], axis=-1)
+        t4 = C2f(c[3], n, dtype=dt, name="td_p4")(t4, train)
+        t3 = jnp.concatenate([upsample2x_nearest(t4), p3], axis=-1)
+        n3 = C2f(c[2], n, dtype=dt, name="td_p3")(t3, train)
+
+        # bottom-up
+        b4 = ConvBN(c[2], 3, 2, dtype=dt, name="bu_down3")(n3, train)
+        b4 = jnp.concatenate([b4, t4], axis=-1)
+        n4 = C2f(c[3], n, dtype=dt, name="bu_p4")(b4, train)
+        b5 = ConvBN(c[3], 3, 2, dtype=dt, name="bu_down4")(n4, train)
+        b5 = jnp.concatenate([b5, p5], axis=-1)
+        n5 = C2f(c[4], n, dtype=dt, name="bu_p5")(b5, train)
+        return n3, n4, n5
+
+
+class DetectHead(nn.Module):
+    """Decoupled anchor-free head: per-level DFL box + class branches."""
+
+    cfg: DetectorConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        feats: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+        train: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        dt = self.dtype
+        c_reg = cfg.reg_channels
+        c_cls = cfg.cls_channels
+
+        reg_out, cls_out = [], []
+        for i, f in enumerate(feats):
+            r = ConvBN(c_reg, 3, dtype=dt, name=f"reg{i}_cv1")(f, train)
+            r = ConvBN(c_reg, 3, dtype=dt, name=f"reg{i}_cv2")(r, train)
+            r = nn.Conv(
+                4 * cfg.reg_max, (1, 1), dtype=dt, name=f"reg{i}_out"
+            )(r)
+            k = ConvBN(c_cls, 3, dtype=dt, name=f"cls{i}_cv1")(f, train)
+            k = ConvBN(c_cls, 3, dtype=dt, name=f"cls{i}_cv2")(k, train)
+            k = nn.Conv(cfg.num_classes, (1, 1), dtype=dt, name=f"cls{i}_out")(k)
+            b = f.shape[0]
+            reg_out.append(r.reshape(b, -1, 4 * cfg.reg_max))
+            cls_out.append(k.reshape(b, -1, cfg.num_classes))
+
+        return {
+            # raw logits, float32 for a numerically-stable decode/loss
+            "reg": jnp.concatenate(reg_out, axis=1).astype(jnp.float32),
+            "cls": jnp.concatenate(cls_out, axis=1).astype(jnp.float32),
+        }
+
+
+class YoloLitePi(nn.Module):
+    """Full detector: backbone + PAN neck + decoupled DFL head.
+
+    Input: (B, S, S, 3) float32/bfloat16, already letterboxed and scaled to
+    [0, 1] (the reference normalises by 1/255 — e2e.py:233-238).
+    Output: dict with ``reg`` (B, A, 4*reg_max) and ``cls`` (B, A, nc) raw
+    logits, A = 8,400 at S = 640.
+    """
+
+    cfg: DetectorConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
+        x = x.astype(self.dtype)
+        feats = Backbone(self.cfg, self.dtype, name="backbone")(x, train)
+        feats = PANNeck(self.cfg, self.dtype, name="neck")(feats, train)
+        return DetectHead(self.cfg, self.dtype, name="head")(feats, train)

@@ -109,13 +109,13 @@ def _nms_single(
     return out_boxes, out_scores, out_cls, out_valid
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(5, 6))
 def nms_fixed(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
     class_ids: jnp.ndarray,
-    conf_threshold: float = 0.25,
-    iou_threshold: float = 0.45,
+    conf_threshold=0.25,
+    iou_threshold=0.45,
     max_candidates: int = 512,
     max_detections: int = 64,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -126,10 +126,16 @@ def nms_fixed(
     boxes : (B, A, 4) or (A, 4) xyxy
     scores : (B, A) or (A,)
     class_ids : same leading shape, int32
+    conf_threshold, iou_threshold : traced scalars — changing them (the
+        reference's two-pass benchmark_conf / yolo_conf protocol,
+        e2e.py:971-992) reuses the compiled program; only the shape budgets
+        are static.
 
     Returns padded ``(boxes (.., D, 4), scores (.., D), class_ids (.., D),
     valid (.., D) bool)`` with D = ``max_detections``, score-descending.
     """
+    conf_threshold = jnp.asarray(conf_threshold, jnp.float32)
+    iou_threshold = jnp.asarray(iou_threshold, jnp.float32)
     fn = functools.partial(
         _nms_single,
         conf_threshold=conf_threshold,

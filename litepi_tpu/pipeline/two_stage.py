@@ -1,0 +1,222 @@
+"""The two-stage detect -> crop -> classify pipeline as XLA programs.
+
+The reference orchestrates this per image on the host: NCNN detect, numpy
+postprocess, Python ROI loop, batched torch classify (reference:
+HybridPipeline.run e2e.py:443-531).  Here the same dataflow exists in two
+forms:
+
+* **fused program** (:meth:`TwoStagePipeline.run_fused`) — one jitted XLA
+  program per frame resolution: letterbox -> normalize -> detector -> DFL
+  decode -> NMS -> un-letterbox -> min-area mask -> ROI crop -> classifier.
+  A frame never round-trips to the host between stages; the batch dimension
+  is the throughput lever (this is the serving/bench path, and the reason a
+  13 FPS Pi pipeline becomes a >1k FPS TPU program).
+
+* **staged programs** (:meth:`detect` / :meth:`classify`) — the detector and
+  classifier as separate jitted calls with host ROI extraction in between,
+  mirroring the reference's structure exactly.  Used by the eval CLI for
+  bit-faithful parity (host cv2 letterbox, reference crop semantics) and for
+  per-stage latency reporting (PipelineMetrics).
+
+All shapes are static: NMS emits ``max_detections`` padded slots, the
+classifier always sees ``B * max_detections`` crops with masking.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from litepi_tpu.core.types import PipelineConfig
+from litepi_tpu.models import YoloLitePi, build_classifier
+from litepi_tpu.ops.anchors import make_anchors
+from litepi_tpu.ops.boxes import box_area, clip_boxes, xywh_to_xyxy
+from litepi_tpu.ops.dfl import decode_boxes, dfl_decode
+from litepi_tpu.ops.letterbox import letterbox_device, letterbox_params
+from litepi_tpu.ops.nms import nms_fixed
+from litepi_tpu.ops.roi import crop_and_resize
+
+
+class TwoStagePipeline:
+    """Holds models + params and compiles the pipeline programs.
+
+    Parameters come in as Flax variable dicts (converted via
+    :mod:`litepi_tpu.weights` or freshly trained).  ``conf_threshold`` is a
+    per-call argument so the reference's two-pass protocol (benchmark_conf
+    0.25 vs yolo_conf 0.001 — e2e.py:971-992) reuses one compiled program.
+    """
+
+    def __init__(
+        self,
+        cfg: PipelineConfig,
+        det_vars: Any,
+        cls_vars: Any,
+        dtype: jnp.dtype = jnp.float32,
+    ) -> None:
+        self.cfg = cfg
+        self.det_model = YoloLitePi(cfg.detector, dtype=dtype)
+        self.cls_model = build_classifier(
+            cfg.classifier_arch, cfg.num_classifier_classes, dtype=dtype
+        )
+        self.det_vars = det_vars
+        self.cls_vars = cls_vars
+        pts, strides = make_anchors(cfg.det_input_size, cfg.detector.strides)
+        self._anchors = jnp.asarray(pts)
+        self._strides = jnp.asarray(strides)
+        self._mean = jnp.asarray(cfg.cls_mean, jnp.float32)
+        self._std = jnp.asarray(cfg.cls_std, jnp.float32)
+
+    # ------------------------------------------------------------------ #
+    # stage programs                                                      #
+    # ------------------------------------------------------------------ #
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _detect_jit(
+        self, det_vars: Any, canvas01: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """canvas01: (B, S, S, 3) in [0, 1].  Returns per-anchor xyxy boxes in
+        letterbox space, max-class scores and class ids (B, A, ...)."""
+        out = self.det_model.apply(det_vars, canvas01, train=False)
+        dist = dfl_decode(out["reg"], self.cfg.detector.reg_max)
+        boxes = decode_boxes(dist, self._anchors, self._strides, xywh=False)
+        probs = jax.nn.sigmoid(out["cls"])
+        scores = probs.max(axis=-1)
+        class_ids = probs.argmax(axis=-1).astype(jnp.int32)
+        return boxes, scores, class_ids
+
+    def detect(
+        self, canvas01: np.ndarray, conf_threshold: Optional[float] = None
+    ) -> Dict[str, np.ndarray]:
+        """Detector stage on pre-letterboxed input: forward + decode + NMS.
+
+        Mirrors ``NCNNDetector.detect`` (e2e.py:298-316) but batched and
+        fixed-shape.  Boxes return in 640-letterbox space; the caller
+        un-letterboxes with its own per-image geometry (e2e.py:266-278).
+        """
+        nms_cfg = self.cfg.nms
+        conf = self.cfg.benchmark_conf if conf_threshold is None else conf_threshold
+        boxes, scores, class_ids = self._detect_jit(self.det_vars, canvas01)
+        b, s, c, v = nms_fixed(
+            boxes,
+            scores,
+            class_ids,
+            conf,
+            nms_cfg.iou_threshold,
+            nms_cfg.max_candidates,
+            nms_cfg.max_detections,
+        )
+        return {"boxes": b, "scores": s, "class_ids": c, "valid": v}
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _classify_jit(self, cls_vars: Any, crops01: jnp.ndarray) -> jnp.ndarray:
+        """crops01: (N, c, c, 3) in [0, 1] -> (N, num_classes) probabilities."""
+        x = (crops01 - self._mean) / self._std
+        logits = self.cls_model.apply(cls_vars, x, train=False)
+        return jax.nn.softmax(logits, axis=-1)
+
+    def classify(self, crops01: np.ndarray) -> np.ndarray:
+        """Classifier stage (reference: PyTorchClassifier.predict_batch
+        e2e.py:377-396), already normalised to [0, 1]."""
+        return self._classify_jit(self.cls_vars, crops01)
+
+    # ------------------------------------------------------------------ #
+    # fused program                                                       #
+    # ------------------------------------------------------------------ #
+
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def _fused_jit(
+        self,
+        det_vars: Any,
+        cls_vars: Any,
+        frame_hw: Tuple[int, int],
+        conf_threshold: jnp.ndarray,
+        frames: jnp.ndarray,
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        nms_cfg = cfg.nms
+        h, w = frame_hw
+        size = cfg.det_input_size
+        ratio, dw, dh, _, _ = letterbox_params(h, w, size)
+
+        canvas = letterbox_device(frames, size) * (1.0 / 255.0)
+        boxes, scores, class_ids = self._detect_jit(det_vars, canvas)
+        b, s, c, v = nms_fixed(
+            boxes,
+            scores,
+            class_ids,
+            conf_threshold,
+            nms_cfg.iou_threshold,
+            nms_cfg.max_candidates,
+            nms_cfg.max_detections,
+        )
+        # map to original pixels (static geometry: one program per resolution)
+        shift = jnp.asarray([dw, dh, dw, dh], jnp.float32)
+        orig_boxes = clip_boxes((b - shift) / ratio, w, h)
+        # the reference drops ROIs below --min_area pixels (e2e.py:459-485)
+        v = v & (box_area(orig_boxes) >= nms_cfg.min_area)
+
+        crops = crop_and_resize(
+            frames.astype(jnp.float32), orig_boxes, v, cfg.cls_input_size
+        ) * (1.0 / 255.0)
+        n, d = crops.shape[0], crops.shape[1]
+        probs = self._classify_jit(
+            cls_vars, crops.reshape(n * d, *crops.shape[2:])
+        ).reshape(n, d, -1)
+        return {
+            "boxes": orig_boxes,
+            "det_scores": s,
+            "det_class_ids": c,
+            "valid": v,
+            "cls_probs": probs,
+            "cls_labels": probs.argmax(axis=-1).astype(jnp.int32),
+            "cls_scores": probs.max(axis=-1),
+        }
+
+    def run_fused(
+        self, frames: np.ndarray, conf_threshold: Optional[float] = None
+    ) -> Dict[str, jnp.ndarray]:
+        """Full two-stage pipeline on raw same-resolution frames.
+
+        frames: (B, H, W, 3) uint8 (any colour order consistent with the
+        trained weights).  Returns fixed-shape padded outputs; ``valid`` masks
+        real detections.
+        """
+        conf = self.cfg.benchmark_conf if conf_threshold is None else conf_threshold
+        hw = (int(frames.shape[1]), int(frames.shape[2]))
+        return self._fused_jit(
+            self.det_vars, self.cls_vars, hw, jnp.float32(conf), frames
+        )
+
+    # ------------------------------------------------------------------ #
+    # construction helpers                                                #
+    # ------------------------------------------------------------------ #
+
+    @classmethod
+    def initialize(
+        cls,
+        cfg: PipelineConfig,
+        seed: int = 0,
+        dtype: jnp.dtype = jnp.float32,
+    ) -> "TwoStagePipeline":
+        """Build a pipeline with freshly initialised (untrained) params —
+        used by benchmarks, shape tests and as the training starting point."""
+        det_model = YoloLitePi(cfg.detector, dtype=dtype)
+        cls_model = build_classifier(
+            cfg.classifier_arch, cfg.num_classifier_classes, dtype=dtype
+        )
+        k1, k2 = jax.random.split(jax.random.key(seed))
+        det_vars = det_model.init(
+            k1,
+            jnp.zeros((1, cfg.det_input_size, cfg.det_input_size, 3)),
+            train=False,
+        )
+        cls_vars = cls_model.init(
+            k2,
+            jnp.zeros((1, cfg.cls_input_size, cfg.cls_input_size, 3)),
+            train=False,
+        )
+        return cls(cfg, det_vars, cls_vars, dtype=dtype)

@@ -1,0 +1,195 @@
+"""torch/torchvision ``.pth`` state-dict -> Flax variables converters.
+
+The reference's classifier stage loads torchvision state dicts
+(reference: e2e.py:320-347 ``build_classifier`` + ``load_state_dict``, weights
+like ``../weight/shufflenetv2.pth`` e2e.py:1019).  Our Flax classifiers mirror
+those architectures exactly, so conversion is a pure key-mapping plus layout
+transposes:
+
+* conv weight (O, I, kh, kw) -> kernel (kh, kw, I, O)
+* depthwise conv (O, 1, kh, kw) -> kernel (kh, kw, 1, O)  (same transpose)
+* linear (O, I) -> kernel (I, O)
+* BatchNorm weight/bias -> params scale/bias; running stats -> batch_stats
+
+Converters take a ``{key: numpy array}`` dict so unpickling stays at the
+caller (see :func:`load_torch_state_dict`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+Tree = Dict[str, Any]
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a ``.pth`` file into plain numpy arrays (CPU)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    state = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+    return {k: v.detach().numpy() for k, v in state.items() if hasattr(v, "numpy")}
+
+
+def _conv(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _set(tree: Tree, path: Tuple[str, ...], value: np.ndarray) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = np.ascontiguousarray(value)
+
+
+def _put_conv(params: Tree, dst: Tuple[str, ...], sd: Mapping, src: str) -> None:
+    _set(params, dst + ("kernel",), _conv(sd[f"{src}.weight"]))
+    if f"{src}.bias" in sd:
+        _set(params, dst + ("bias",), sd[f"{src}.bias"])
+
+
+def _put_bn(
+    params: Tree, stats: Tree, dst: Tuple[str, ...], sd: Mapping, src: str
+) -> None:
+    _set(params, dst + ("scale",), sd[f"{src}.weight"])
+    _set(params, dst + ("bias",), sd[f"{src}.bias"])
+    _set(stats, dst + ("mean",), sd[f"{src}.running_mean"])
+    _set(stats, dst + ("var",), sd[f"{src}.running_var"])
+
+
+def _put_linear(params: Tree, dst: Tuple[str, ...], sd: Mapping, src: str) -> None:
+    _set(params, dst + ("kernel",), sd[f"{src}.weight"].T)
+    if f"{src}.bias" in sd:
+        _set(params, dst + ("bias",), sd[f"{src}.bias"])
+
+
+def _convert_shufflenetv2(
+    sd: Mapping[str, np.ndarray], stage_repeats=(4, 8, 4)
+) -> Tree:
+    p: Tree = {}
+    s: Tree = {}
+    _put_conv(p, ("conv1", "conv"), sd, "conv1.0")
+    _put_bn(p, s, ("conv1", "bn"), sd, "conv1.1")
+    for stage, reps in zip((2, 3, 4), stage_repeats):
+        for i in range(reps):
+            t = f"stage{stage}.{i}"
+            f = f"stage{stage}_{i}"
+            if i == 0:  # stride-2 unit has branch1
+                _put_conv(p, (f, "b1_dw", "conv"), sd, f"{t}.branch1.0")
+                _put_bn(p, s, (f, "b1_dw", "bn"), sd, f"{t}.branch1.1")
+                _put_conv(p, (f, "b1_pw", "conv"), sd, f"{t}.branch1.2")
+                _put_bn(p, s, (f, "b1_pw", "bn"), sd, f"{t}.branch1.3")
+            _put_conv(p, (f, "b2_pw1", "conv"), sd, f"{t}.branch2.0")
+            _put_bn(p, s, (f, "b2_pw1", "bn"), sd, f"{t}.branch2.1")
+            _put_conv(p, (f, "b2_dw", "conv"), sd, f"{t}.branch2.3")
+            _put_bn(p, s, (f, "b2_dw", "bn"), sd, f"{t}.branch2.4")
+            _put_conv(p, (f, "b2_pw2", "conv"), sd, f"{t}.branch2.5")
+            _put_bn(p, s, (f, "b2_pw2", "bn"), sd, f"{t}.branch2.6")
+    _put_conv(p, ("conv5", "conv"), sd, "conv5.0")
+    _put_bn(p, s, ("conv5", "bn"), sd, "conv5.1")
+    _put_linear(p, ("fc",), sd, "fc")
+    return {"params": p, "batch_stats": s}
+
+
+def _convert_resnet18(sd: Mapping[str, np.ndarray], stage_sizes=(2, 2, 2, 2)) -> Tree:
+    p: Tree = {}
+    s: Tree = {}
+    _put_conv(p, ("conv1",), sd, "conv1")
+    _put_bn(p, s, ("bn1",), sd, "bn1")
+    for layer, blocks in enumerate(stage_sizes, start=1):
+        for i in range(blocks):
+            t = f"layer{layer}.{i}"
+            f = f"layer{layer}_{i}"
+            _put_conv(p, (f, "cb1", "conv"), sd, f"{t}.conv1")
+            _put_bn(p, s, (f, "cb1", "bn"), sd, f"{t}.bn1")
+            _put_conv(p, (f, "cb2", "conv"), sd, f"{t}.conv2")
+            _put_bn(p, s, (f, "cb2", "bn"), sd, f"{t}.bn2")
+            if f"{t}.downsample.0.weight" in sd:
+                _put_conv(p, (f, "down", "conv"), sd, f"{t}.downsample.0")
+                _put_bn(p, s, (f, "down", "bn"), sd, f"{t}.downsample.1")
+    _put_linear(p, ("fc",), sd, "fc")
+    return {"params": p, "batch_stats": s}
+
+
+def _convert_mobilenetv2(sd: Mapping[str, np.ndarray]) -> Tree:
+    from litepi_tpu.models.mobilenetv2 import _V2_SETTINGS
+
+    p: Tree = {}
+    s: Tree = {}
+    _put_conv(p, ("stem", "conv"), sd, "features.0.0")
+    _put_bn(p, s, ("stem", "bn"), sd, "features.0.1")
+    feat = 1
+    idx = 0
+    for t, _, n, _ in _V2_SETTINGS:
+        for _ in range(n):
+            f = f"block{idx}"
+            src = f"features.{feat}"
+            if t == 1:  # no expand conv: conv.0=dw ConvBNReLU, conv.1/2=pw-linear
+                _put_conv(p, (f, "dw", "conv"), sd, f"{src}.conv.0.0")
+                _put_bn(p, s, (f, "dw", "bn"), sd, f"{src}.conv.0.1")
+                _put_conv(p, (f, "pw_linear", "conv"), sd, f"{src}.conv.1")
+                _put_bn(p, s, (f, "pw_linear", "bn"), sd, f"{src}.conv.2")
+            else:
+                _put_conv(p, (f, "pw", "conv"), sd, f"{src}.conv.0.0")
+                _put_bn(p, s, (f, "pw", "bn"), sd, f"{src}.conv.0.1")
+                _put_conv(p, (f, "dw", "conv"), sd, f"{src}.conv.1.0")
+                _put_bn(p, s, (f, "dw", "bn"), sd, f"{src}.conv.1.1")
+                _put_conv(p, (f, "pw_linear", "conv"), sd, f"{src}.conv.2")
+                _put_bn(p, s, (f, "pw_linear", "bn"), sd, f"{src}.conv.3")
+            feat += 1
+            idx += 1
+    _put_conv(p, ("head_conv", "conv"), sd, f"features.{feat}.0")
+    _put_bn(p, s, ("head_conv", "bn"), sd, f"features.{feat}.1")
+    _put_linear(p, ("fc",), sd, "classifier.1")
+    return {"params": p, "batch_stats": s}
+
+
+def _convert_efficientnet_b0(sd: Mapping[str, np.ndarray]) -> Tree:
+    from litepi_tpu.models.efficientnet import _B0_SETTINGS
+
+    p: Tree = {}
+    s: Tree = {}
+    _put_conv(p, ("stem", "conv"), sd, "features.0.0")
+    _put_bn(p, s, ("stem", "bn"), sd, "features.0.1")
+    idx = 0
+    for stage, (t, _, n, _, _) in enumerate(_B0_SETTINGS, start=1):
+        for i in range(n):
+            f = f"block{idx}"
+            src = f"features.{stage}.{i}.block"
+            if t == 1:  # stage 1: dw, se, pw-linear
+                parts = [("dw", 0), ("se", 1), ("pw_linear", 2)]
+            else:
+                parts = [("pw", 0), ("dw", 1), ("se", 2), ("pw_linear", 3)]
+            for name, j in parts:
+                if name == "se":
+                    _put_conv(p, (f, "se", "fc1"), sd, f"{src}.{j}.fc1")
+                    _put_conv(p, (f, "se", "fc2"), sd, f"{src}.{j}.fc2")
+                else:
+                    _put_conv(p, (f, name, "conv"), sd, f"{src}.{j}.0")
+                    _put_bn(p, s, (f, name, "bn"), sd, f"{src}.{j}.1")
+            idx += 1
+    _put_conv(p, ("head_conv", "conv"), sd, "features.8.0")
+    _put_bn(p, s, ("head_conv", "bn"), sd, "features.8.1")
+    _put_linear(p, ("fc",), sd, "classifier.1")
+    return {"params": p, "batch_stats": s}
+
+
+_CONVERTERS = {
+    "shufflenetv2": _convert_shufflenetv2,
+    "resnet18": _convert_resnet18,
+    "mobilenetv2": _convert_mobilenetv2,
+    "efficientnet": _convert_efficientnet_b0,
+}
+
+
+def convert_classifier_state_dict(
+    arch: str, state_dict: Mapping[str, np.ndarray]
+) -> Tree:
+    """Convert a torchvision-style state dict (as numpy) into Flax variables
+    ``{"params": ..., "batch_stats": ...}`` for the matching litepi_tpu model.
+    """
+    if arch not in _CONVERTERS:
+        raise ValueError(f"no converter for arch {arch!r}; choices: {sorted(_CONVERTERS)}")
+    return _CONVERTERS[arch](state_dict)

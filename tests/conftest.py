@@ -1,15 +1,24 @@
 """Test configuration: force a virtual 8-device CPU mesh.
 
 Tests must run without TPU hardware; sharding tests need multiple devices.
-This must execute before the first ``import jax`` anywhere in the test
-process, which pytest guarantees for a root conftest.
+Two steps are required, in order, before any test imports jax:
+
+1. extend XLA_FLAGS before the first jax import so the CPU client is built
+   with 8 virtual devices;
+2. ``jax.config.update("jax_platforms", "cpu")`` — the environment's TPU
+   plugin (axon sitecustomize) force-overrides the JAX_PLATFORMS env var at
+   interpreter start, so the env var alone is NOT enough; the config update
+   after import wins.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

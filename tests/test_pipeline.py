@@ -1,0 +1,83 @@
+"""Fused two-stage pipeline: contract, masking and two-pass conf protocol."""
+
+import numpy as np
+import pytest
+
+from litepi_tpu.core.types import (
+    DetectorConfig,
+    NMSConfig,
+    PipelineConfig,
+)
+from litepi_tpu.pipeline import TwoStagePipeline
+
+SMALL = PipelineConfig(
+    detector=DetectorConfig(
+        name="tiny", base_channels=(32, 64, 128, 256, 512), input_size=160
+    ),
+    nms=NMSConfig(max_candidates=128, max_detections=8, min_area=4.0),
+    classifier_arch="shufflenetv2",
+    num_classifier_classes=10,
+    det_input_size=160,
+    cls_input_size=64,
+)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return TwoStagePipeline.initialize(SMALL, seed=0)
+
+
+def test_fused_output_contract(pipe):
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (2, 200, 300, 3), dtype=np.uint8)
+    out = pipe.run_fused(frames, conf_threshold=0.001)
+    d = SMALL.nms.max_detections
+    assert out["boxes"].shape == (2, d, 4)
+    assert out["det_scores"].shape == (2, d)
+    assert out["valid"].shape == (2, d)
+    assert out["cls_probs"].shape == (2, d, 10)
+    assert out["cls_labels"].shape == (2, d)
+    for v in out.values():
+        assert np.isfinite(np.asarray(v, dtype=np.float64)).all()
+    # boxes must be inside the original frame
+    b = np.asarray(out["boxes"])
+    assert (b[..., [0, 2]] <= 300).all() and (b[..., [1, 3]] <= 200).all()
+    assert (b >= 0).all()
+    # classifier probabilities sum to 1
+    np.testing.assert_allclose(
+        np.asarray(out["cls_probs"]).sum(-1), 1.0, atol=1e-4
+    )
+
+
+def test_two_pass_conf_protocol(pipe):
+    """Lower conf must never yield fewer detections, and the second pass must
+    not recompile (traced threshold — the reference's benchmark_conf /
+    yolo_conf two-pass, e2e.py:971-992)."""
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 256, (1, 200, 300, 3), dtype=np.uint8)
+    lo = pipe.run_fused(frames, conf_threshold=0.0001)
+    n_compiles = pipe._fused_jit._cache_size()
+    hi = pipe.run_fused(frames, conf_threshold=0.9)
+    assert np.asarray(lo["valid"]).sum() >= np.asarray(hi["valid"]).sum()
+    # the second pass must reuse the first pass's compiled program
+    assert pipe._fused_jit._cache_size() == n_compiles
+
+
+def test_staged_detect_classify(pipe):
+    """The staged path (reference HybridPipeline structure) runs standalone."""
+    rng = np.random.default_rng(2)
+    canvas01 = rng.uniform(0, 1, (2, 160, 160, 3)).astype(np.float32)
+    det = pipe.detect(canvas01, conf_threshold=0.001)
+    assert det["boxes"].shape == (2, 8, 4)
+    crops01 = rng.uniform(0, 1, (5, 64, 64, 3)).astype(np.float32)
+    probs = np.asarray(pipe.classify(crops01))
+    assert probs.shape == (5, 10)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-4)
+
+
+def test_invalid_slots_have_sentinel_class(pipe):
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (1, 200, 300, 3), dtype=np.uint8)
+    out = pipe.run_fused(frames, conf_threshold=0.999999)
+    assert np.asarray(out["valid"]).sum() == 0
+    assert (np.asarray(out["det_class_ids"]) == -1).all()
