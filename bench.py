@@ -21,20 +21,28 @@ REFERENCE_E2E_FPS = 13.23
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--batch", type=int, default=256)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    # serving budget: 16 sign slots per frame at conf 0.25 (TT100K scenes
+    # carry a handful of signs; the eval CLI uses larger eval budgets)
+    p.add_argument("--max-det", type=int, default=16)
+    p.add_argument("--max-candidates", type=int, default=256)
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from litepi_tpu.core.types import PipelineConfig
+    from litepi_tpu.core.types import NMSConfig, PipelineConfig
     from litepi_tpu.pipeline import TwoStagePipeline
 
-    cfg = PipelineConfig()
+    cfg = PipelineConfig(
+        nms=NMSConfig(
+            max_candidates=args.max_candidates, max_detections=args.max_det
+        )
+    )
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     pipe = TwoStagePipeline.initialize(cfg, seed=0, dtype=dtype)
 

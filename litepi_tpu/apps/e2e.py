@@ -1,0 +1,194 @@
+"""End-to-end evaluation CLI, flag-compatible with the reference ``e2e.py``
+(reference: src/tt100k/pipeline/e2e.py:1013-1189).
+
+Differences forced by the backend swap (three CPU engines -> one XLA
+backend): detector weights load from an orbax checkpoint (``--detector``)
+instead of NCNN param/bin pairs; classifier weights load from either an orbax
+checkpoint or a torch ``.pth`` state dict (converted on the fly).  The legacy
+``--detector_param``/``--detector_bin`` flags are still parsed so existing
+scripts fail with a pointed message rather than an argparse error.
+
+Usage:
+    python -m litepi_tpu.apps.e2e \
+        --detector ckpt/yolo_plus_v2 --classifier weights/shufflenetv2.pth \
+        --clf_arch shufflenetv2 --input data/images --labels data/labels \
+        --classes idx2label.json --output output_eval
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Two-stage TSR e2e evaluation (TPU)")
+    # weights
+    p.add_argument("--detector", default=None, help="orbax checkpoint dir (or 'random')")
+    p.add_argument("--detector_param", default=None, help=argparse.SUPPRESS)
+    p.add_argument("--detector_bin", default=None, help=argparse.SUPPRESS)
+    p.add_argument(
+        "--detector_variant",
+        default="yolo_plus_v2",
+        choices=["yolo_plus_v2", "yolo_plus_v1", "yolov8n"],
+    )
+    p.add_argument("--classifier", default=None, help="orbax dir or torch .pth")
+    p.add_argument(
+        "--clf_arch",
+        default="shufflenetv2",
+        choices=["resnet18", "efficientnet", "mobilenetv2", "shufflenetv2"],
+    )
+    p.add_argument("--num_classes", type=int, default=91)
+    # data
+    p.add_argument("--input", required=True, help="image directory")
+    p.add_argument("--labels", required=True, help="YOLO label directory")
+    p.add_argument("--classes", default=None, help="idx2label.json or names txt")
+    p.add_argument("--num_samples", type=int, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    # thresholds (reference defaults, e2e.py:1014-1050)
+    p.add_argument("--yolo_conf", type=float, default=0.001)
+    p.add_argument("--benchmark_conf", type=float, default=0.25)
+    p.add_argument("--min_area", type=float, default=50.0)
+    p.add_argument("--iou_threshold", type=float, default=0.45)
+    p.add_argument("--det_input_size", type=int, default=640)
+    p.add_argument("--cls_input_size", type=int, default=64)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--max_det", type=int, default=64)
+    p.add_argument("--max_candidates", type=int, default=512)
+    p.add_argument(
+        "--detector_threads", type=int, default=4, help=argparse.SUPPRESS
+    )  # accepted for compatibility; XLA owns on-chip threading
+    p.add_argument("--device", default="tpu", choices=["tpu", "cpu"])
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    # output
+    p.add_argument("--output", default="output_eval")
+    p.add_argument("--save_viz", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_arg_parser().parse_args(argv)
+
+    if args.detector_param or args.detector_bin:
+        print(
+            "error: NCNN param/bin artifacts are not loadable by the XLA "
+            "backend. Convert once with litepi_tpu.weights and pass the "
+            "checkpoint dir via --detector.",
+            file=sys.stderr,
+        )
+        return 2
+
+    import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from litepi_tpu.core.types import (
+        DetectorConfig,
+        NMSConfig,
+        PipelineConfig,
+        YOLO_PLUS_V1,
+        YOLO_PLUS_V2,
+        YOLOV8N,
+    )
+    from litepi_tpu.evals.labels import load_class_names, sample_images
+    from litepi_tpu.models import YoloLitePi, build_classifier
+    from litepi_tpu.pipeline.evaluator import PipelineEvaluator, write_results
+    from litepi_tpu.pipeline.two_stage import TwoStagePipeline
+    from litepi_tpu.weights.checkpoint import load_checkpoint
+    from litepi_tpu.weights.torch_import import (
+        convert_classifier_state_dict,
+        load_torch_state_dict,
+    )
+
+    det_cfg = {
+        "yolo_plus_v2": YOLO_PLUS_V2,
+        "yolo_plus_v1": YOLO_PLUS_V1,
+        "yolov8n": YOLOV8N,
+    }[args.detector_variant]
+    det_cfg = DetectorConfig(
+        **{
+            **{f.name: getattr(det_cfg, f.name) for f in det_cfg.__dataclass_fields__.values()},
+            "input_size": args.det_input_size,
+        }
+    )
+    cfg = PipelineConfig(
+        detector=det_cfg,
+        nms=NMSConfig(
+            iou_threshold=args.iou_threshold,
+            max_candidates=args.max_candidates,
+            max_detections=args.max_det,
+            min_area=args.min_area,
+        ),
+        classifier_arch=args.clf_arch,
+        num_classifier_classes=args.num_classes,
+        det_input_size=args.det_input_size,
+        cls_input_size=args.cls_input_size,
+        batch_size=args.batch_size,
+        yolo_conf=args.yolo_conf,
+        benchmark_conf=args.benchmark_conf,
+    )
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    # ---- weights ----------------------------------------------------- #
+    from litepi_tpu.models.init_utils import fast_init
+
+    det_model = YoloLitePi(cfg.detector, dtype=dtype)
+    if args.detector and args.detector != "random":
+        det_vars = load_checkpoint(args.detector)
+    else:
+        print("[warn] no --detector checkpoint: using random weights", file=sys.stderr)
+        det_vars = fast_init(det_model, seed=0)
+
+    cls_model = build_classifier(args.clf_arch, args.num_classes, dtype=dtype)
+    if args.classifier and args.classifier.endswith((".pth", ".pt")):
+        sd = load_torch_state_dict(args.classifier)
+        cls_vars = convert_classifier_state_dict(args.clf_arch, sd)
+    elif args.classifier:
+        cls_vars = load_checkpoint(args.classifier)
+    else:
+        print("[warn] no --classifier weights: using random weights", file=sys.stderr)
+        cls_vars = fast_init(cls_model, seed=1, spatial=cfg.cls_input_size)
+
+    pipe = TwoStagePipeline(cfg, det_vars, cls_vars, dtype=dtype)
+    class_names = load_class_names(args.classes)
+
+    # ---- data + eval -------------------------------------------------- #
+    image_paths = sample_images(args.input, args.num_samples, args.seed)
+    if not image_paths:
+        print(f"error: no images found in {args.input}", file=sys.stderr)
+        return 2
+    print(f"Evaluating {len(image_paths)} images from {args.input}")
+
+    evaluator = PipelineEvaluator(pipe, class_names)
+    metrics = evaluator.evaluate_dataset(
+        image_paths,
+        args.labels,
+        num_classes=args.num_classes,
+        yolo_conf=args.yolo_conf,
+        benchmark_conf=args.benchmark_conf,
+    )
+
+    det_name = args.detector_variant
+    clf_name = args.clf_arch
+    combo = f"{det_name}+{clf_name}"
+    write_results(
+        args.output, combo, det_name, clf_name, metrics, image_paths, class_names
+    )
+
+    print(
+        f"\n=== {combo} ===\n"
+        f"images: {metrics['num_images']}  fps: {metrics['fps']:.2f}\n"
+        f"precision: {metrics['precision']:.4f}  recall: {metrics['recall']:.4f}"
+        f"  f1: {metrics['f1']:.4f}\n"
+        f"mAP@0.5: {metrics['mAP50']:.4f}  mAP@0.5:0.95: {metrics['mAP50_95']:.4f}\n"
+        f"stage ms/batch: {metrics['stage_ms_per_batch']}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,219 @@
+"""Detector training CLI.
+
+Re-creates the reference's detector-training capability (reference:
+train_model/train-yolo-custom-tt100k.ipynb cells 28-38: Ultralytics
+``YOLO(cfg).train(data, imgsz=640, epochs=30, batch=16, mosaic=0.7,
+scale=0.5, hsv aug, patience=5, pretrained=False)``) as a native JAX train
+loop: TAL + CIoU + DFL loss, SGD/nesterov with warmup-free cosine decay,
+mosaic/HSV/flip augmentation on the host feeding a jitted step that shards
+over the ('data', 'model') device mesh, per-epoch val mAP@0.5 with
+early-stopping patience, best-checkpoint saving via orbax.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Train the YOLO-LitePi detector (TPU)")
+    p.add_argument("--images", required=True)
+    p.add_argument("--labels", required=True)
+    p.add_argument("--val_images", default=None)
+    p.add_argument("--val_labels", default=None)
+    p.add_argument(
+        "--variant", default="yolo_plus_v2",
+        choices=["yolo_plus_v2", "yolo_plus_v1", "yolov8n"],
+    )
+    p.add_argument("--num_classes", type=int, default=1)
+    p.add_argument("--imgsz", type=int, default=640)
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--patience", type=int, default=5)
+    p.add_argument("--mosaic", type=float, default=0.7)
+    p.add_argument("--scale", type=float, default=0.5)
+    p.add_argument("--max_gt", type=int, default=64)
+    p.add_argument("--steps_per_epoch", type=int, default=None)
+    p.add_argument("--output", default="runs/detector")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--device", default="tpu", choices=["tpu", "cpu"])
+    p.add_argument("--data_parallel", type=int, default=1)
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from litepi_tpu.core.types import YOLO_PLUS_V1, YOLO_PLUS_V2, YOLOV8N
+    from litepi_tpu.data.dataset import DetectionDataset, Prefetcher, list_pairs
+    from litepi_tpu.evals.labels import parse_yolo_label
+    from litepi_tpu.evals.map import evaluate_predictions
+    from litepi_tpu.parallel import (
+        batch_sharding,
+        make_mesh,
+        replicated_sharding,
+    )
+    from litepi_tpu.train.detector import (
+        create_detector_train_state,
+        detector_train_step,
+    )
+    from litepi_tpu.weights.checkpoint import save_checkpoint
+
+    base = {
+        "yolo_plus_v2": YOLO_PLUS_V2,
+        "yolo_plus_v1": YOLO_PLUS_V1,
+        "yolov8n": YOLOV8N,
+    }[args.variant]
+    cfg = dataclasses.replace(
+        base, num_classes=args.num_classes, input_size=args.imgsz
+    )
+
+    dataset = DetectionDataset(
+        args.images,
+        args.labels,
+        input_size=args.imgsz,
+        max_gt=args.max_gt,
+        mosaic_p=args.mosaic,
+        scale=args.scale,
+        seed=args.seed,
+    )
+    steps = args.steps_per_epoch or max(len(dataset) // args.batch, 1)
+    print(f"dataset: {len(dataset)} images, {steps} steps/epoch")
+
+    model, state, tx = create_detector_train_state(
+        cfg, seed=args.seed, lr=args.lr, dtype=jnp.bfloat16
+    )
+    step_fn = jax.jit(functools.partial(detector_train_step, model, tx))
+
+    mesh = None
+    if args.data_parallel > 1:
+        mesh = make_mesh(args.data_parallel)
+        state = jax.device_put(state, replicated_sharding(mesh))
+        print(f"mesh: {dict(mesh.shape)}")
+
+    def place(batch):
+        if mesh is not None:
+            return jax.device_put(batch, batch_sharding(mesh))
+        return batch
+
+    # -------------------- val helper (mAP@0.5) ------------------------ #
+    def validate() -> float:
+        if not (args.val_images and args.val_labels):
+            return float("nan")
+        from litepi_tpu.core.types import NMSConfig, PipelineConfig
+        from litepi_tpu.pipeline.evaluator import PipelineEvaluator
+        from litepi_tpu.pipeline.two_stage import TwoStagePipeline
+        from litepi_tpu.evals.labels import sample_images
+        from litepi_tpu.models import build_classifier
+        from litepi_tpu.models.init_utils import fast_init
+
+        pcfg = PipelineConfig(
+            detector=cfg,
+            nms=NMSConfig(max_candidates=512, max_detections=64, min_area=0.0),
+            num_classifier_classes=max(args.num_classes, 2),
+            det_input_size=args.imgsz,
+            batch_size=args.batch,
+        )
+        det_vars = {"params": state.params, "batch_stats": state.batch_stats}
+        cls_model = build_classifier(
+            pcfg.classifier_arch, pcfg.num_classifier_classes
+        )
+        pipe = TwoStagePipeline(
+            pcfg, det_vars, fast_init(cls_model, seed=1), dtype=jnp.bfloat16
+        )
+        ev = PipelineEvaluator(pipe)
+        paths = sample_images(args.val_images)
+        preds, gts = [], []
+        bs = args.batch
+        batches = [paths[i : i + bs] for i in range(0, len(paths), bs)]
+        if batches and len(batches[-1]) < bs:
+            pad = bs - len(batches[-1])
+            trailing = len(batches[-1])
+            batches[-1] = batches[-1] + [batches[-1][-1]] * pad
+        else:
+            trailing = bs
+        import cv2
+
+        for i, b in enumerate(batches):
+            real = trailing if i == len(batches) - 1 else bs
+            results = ev.run_batch(b, conf_threshold=0.001)
+            for path, res in zip(b[:real], results[:real]):
+                img = cv2.imread(path)
+                h, w = img.shape[:2]
+                lbl = os.path.join(
+                    args.val_labels,
+                    os.path.splitext(os.path.basename(path))[0] + ".txt",
+                )
+                gts.append(parse_yolo_label(lbl, w, h))
+                if res is None:
+                    preds.append(
+                        (np.zeros((0, 4), np.float32), np.zeros(0), np.zeros(0, np.int32))
+                    )
+                else:
+                    # detector-level eval: class 0 (the "sign" class)
+                    preds.append(
+                        (
+                            res["boxes"],
+                            res["det_scores"],
+                            np.zeros(len(res["boxes"]), np.int32),
+                        )
+                    )
+        m = evaluate_predictions(preds, gts, num_classes=args.num_classes)
+        return m["mAP50"]
+
+    # -------------------- train loop ---------------------------------- #
+    best_map, best_epoch = -1.0, -1
+    os.makedirs(args.output, exist_ok=True)
+    for epoch in range(args.epochs):
+        t0 = time.perf_counter()
+        it = Prefetcher(dataset.batches(args.batch, steps))
+        losses = []
+        for batch in it:
+            state, metrics = step_fn(state, place(batch))
+            losses.append(metrics["loss"])
+        mean_loss = float(np.mean([float(l) for l in losses]))
+        val_map = validate()
+        dt = time.perf_counter() - t0
+        print(
+            f"epoch {epoch + 1}/{args.epochs}  loss {mean_loss:.4f}  "
+            f"val mAP50 {val_map:.4f}  ({dt:.1f}s)"
+        )
+        score = val_map if val_map == val_map else -mean_loss  # NaN -> loss
+        if score > best_map:
+            best_map, best_epoch = score, epoch
+            save_checkpoint(
+                os.path.join(args.output, "best"),
+                {
+                    "params": jax.device_get(state.params),
+                    "batch_stats": jax.device_get(state.batch_stats),
+                },
+            )
+        if epoch - best_epoch >= args.patience:
+            print(f"early stop: no improvement for {args.patience} epochs")
+            break
+
+    save_checkpoint(
+        os.path.join(args.output, "last"),
+        {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+        },
+    )
+    print(f"best score {best_map:.4f} at epoch {best_epoch + 1}; "
+          f"checkpoints in {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

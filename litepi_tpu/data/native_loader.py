@@ -1,0 +1,124 @@
+"""ctypes bindings for the native (C++) JPEG decode + letterbox loader.
+
+The reference feeds its pipeline through OpenCV's C++ decode on a single
+thread.  For a device program that sustains thousands of frames per second,
+host input becomes the bottleneck; ``native/loader.cc`` is a persistent
+worker pool doing libjpeg decode + reference-exact letterbox into one
+contiguous batch buffer (BGR uint8, ready for device transfer).
+
+Builds on demand with g++ (no packaging step needed); falls back cleanly
+when the toolchain or libjpeg is unavailable — callers should use
+:func:`available` and keep the cv2 path as fallback.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "liblitepi_loader.so"))
+
+_lib: Optional[ctypes.CDLL] = None
+_build_error: Optional[str] = None
+
+
+def _load_library() -> Optional[ctypes.CDLL]:
+    global _lib, _build_error
+    if _lib is not None:
+        return _lib
+    if _build_error is not None:
+        return None
+    if not os.path.exists(_SO_PATH):
+        src = os.path.join(os.path.dirname(_SO_PATH), "loader.cc")
+        if not os.path.exists(src):
+            _build_error = f"native source missing: {src}"
+            return None
+        cmd = [
+            "g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-Wall",
+            "-shared", src, "-o", _SO_PATH, "-ljpeg", "-lpthread",
+        ]
+        try:
+            subprocess.run(
+                cmd, check=True, capture_output=True, text=True, timeout=120
+            )
+        except (subprocess.CalledProcessError, OSError, subprocess.TimeoutExpired) as e:
+            _build_error = getattr(e, "stderr", str(e)) or str(e)
+            return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError as e:  # pragma: no cover - loadable after successful build
+        _build_error = str(e)
+        return None
+    lib.lp_create_loader.restype = ctypes.c_void_p
+    lib.lp_create_loader.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.lp_destroy_loader.argtypes = [ctypes.c_void_p]
+    lib.lp_load_batch.restype = ctypes.c_int
+    lib.lp_load_batch.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_ubyte),
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    """True when the native loader built (or was already built) and loaded."""
+    return _load_library() is not None
+
+
+def build_error() -> Optional[str]:
+    _load_library()
+    return _build_error
+
+
+class NativeBatchLoader:
+    """Persistent-pool batched JPEG decode + letterbox.
+
+    >>> loader = NativeBatchLoader(threads=8, out_size=640)
+    >>> canvases, geoms = loader.load(paths)   # (N,640,640,3) u8 BGR, (N,5)
+    geoms rows: (ratio, dw, dh, orig_w, orig_h); ratio == 0 marks a decode
+    failure (canvas fully padded).
+    """
+
+    def __init__(
+        self, threads: int = 8, out_size: int = 640, pad_value: int = 114
+    ) -> None:
+        lib = _load_library()
+        if lib is None:
+            raise RuntimeError(f"native loader unavailable: {_build_error}")
+        self._lib = lib
+        self.out_size = out_size
+        self._handle = lib.lp_create_loader(threads, out_size, pad_value)
+
+    def load(self, paths: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+        n = len(paths)
+        out = np.empty((n, self.out_size, self.out_size, 3), np.uint8)
+        geoms = np.empty((n, 5), np.float32)
+        arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+        self._lib.lp_load_batch(
+            self._handle,
+            arr,
+            n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            geoms.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return out, geoms
+
+    def close(self) -> None:
+        if getattr(self, "_handle", None):
+            self._lib.lp_destroy_loader(self._handle)
+            self._handle = None
+
+    def __del__(self):  # pragma: no cover - gc timing
+        try:
+            self.close()
+        except Exception:
+            pass

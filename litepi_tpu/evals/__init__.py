@@ -1,0 +1,14 @@
+from litepi_tpu.evals.labels import (
+    parse_yolo_label,
+    load_class_names,
+    sample_images,
+)
+from litepi_tpu.evals.map import evaluate_predictions, match_predictions
+
+__all__ = [
+    "parse_yolo_label",
+    "load_class_names",
+    "sample_images",
+    "evaluate_predictions",
+    "match_predictions",
+]

@@ -122,9 +122,11 @@ class DetectHead(nn.Module):
             cls_out.append(k.reshape(b, -1, cfg.num_classes))
 
         return {
-            # raw logits, float32 for a numerically-stable decode/loss
-            "reg": jnp.concatenate(reg_out, axis=1).astype(jnp.float32),
-            "cls": jnp.concatenate(cls_out, axis=1).astype(jnp.float32),
+            # raw logits in compute dtype; decode/loss upcast at their
+            # reductions (a (B, 8400, 64) float32 materialisation costs more
+            # HBM traffic than the whole backbone)
+            "reg": jnp.concatenate(reg_out, axis=1),
+            "cls": jnp.concatenate(cls_out, axis=1),
         }
 
 

@@ -21,8 +21,11 @@ def dfl_decode(reg_logits: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
     Returns (..., A, 4) distances (l, t, r, b) in feature-map units.
     """
     shape = reg_logits.shape[:-1] + (4, reg_max)
-    probs = jax.nn.softmax(reg_logits.reshape(shape), axis=-1)
-    bins = jnp.arange(reg_max, dtype=probs.dtype)
+    # softmax + expectation in float32 regardless of input dtype; the output
+    # (..., 4) is tiny, so only the fused reduction pays f32 bandwidth
+    logits = reg_logits.reshape(shape).astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    bins = jnp.arange(reg_max, dtype=jnp.float32)
     return jnp.sum(probs * bins, axis=-1)
 
 

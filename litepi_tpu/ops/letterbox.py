@@ -70,44 +70,58 @@ def letterbox_host(
     return image, r, (dw, dh)
 
 
-def _bilinear_resize_no_aa(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+def _bilinear_resize_no_aa(
+    imgs: jnp.ndarray, out_h: int, out_w: int, compute_dtype: jnp.dtype
+) -> jnp.ndarray:
     """Half-pixel-center bilinear resize without antialiasing (cv2.INTER_LINEAR
-    semantics) for a single HWC image, as a gather — XLA fuses this well and it
-    avoids jax.image.resize's antialias filter, which cv2 does not apply."""
-    in_h, in_w = img.shape[0], img.shape[1]
-    img = img.astype(jnp.float32)
+    semantics) for a batch of HWC images.
 
-    def axis_coords(out_n: int, in_n: int):
-        # src = (dst + 0.5) * in/out - 0.5, clamped like cv2's border replicate
-        src = (jnp.arange(out_n, dtype=jnp.float32) + 0.5) * (in_n / out_n) - 0.5
-        src = jnp.clip(src, 0.0, in_n - 1.0)
-        lo = jnp.floor(src).astype(jnp.int32)
-        hi = jnp.minimum(lo + 1, in_n - 1)
-        frac = src - lo.astype(jnp.float32)
-        return lo, hi, frac
+    Implemented as two interpolation-matrix contractions that ride the TPU
+    MXU (see ops/roi.py for the derivation) — a gather formulation is
+    memory-latency-bound and an order of magnitude slower on TPU.  The weight
+    matrices are compile-time constants (static shapes), shared by the batch.
+    """
+    from litepi_tpu.ops.roi import interp_weights
 
-    y0, y1, fy = axis_coords(out_h, in_h)
-    x0, x1, fx = axis_coords(out_w, in_w)
+    in_h, in_w = imgs.shape[1], imgs.shape[2]
+    zero = jnp.zeros((1,), jnp.float32)
+    wy = interp_weights(zero, jnp.full((1,), float(in_h)), out_h, in_h)[0]
+    wx = interp_weights(zero, jnp.full((1,), float(in_w)), out_w, in_w)[0]
+    wy = wy.astype(compute_dtype)
+    wx = wx.astype(compute_dtype)
+    x = imgs.astype(compute_dtype)
+    t = jnp.einsum("oh,bhwc->bowc", wy, x, preferred_element_type=jnp.float32)
+    out = jnp.einsum(
+        "pw,bowc->bopc", wx, t.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return out
 
-    top = img[y0][:, x0] * (1 - fx)[None, :, None] + img[y0][:, x1] * fx[None, :, None]
-    bot = img[y1][:, x0] * (1 - fx)[None, :, None] + img[y1][:, x1] * fx[None, :, None]
-    return top * (1 - fy)[:, None, None] + bot * fy[:, None, None]
 
-
-@functools.partial(jax.jit, static_argnums=(1,))
-def letterbox_device(images: jnp.ndarray, new_shape: int = 640) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def letterbox_device(
+    images: jnp.ndarray,
+    new_shape: int = 640,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
     """In-graph letterbox for a batch of same-resolution frames.
 
     ``images``: (B, H, W, 3) uint8.  Returns (B, new, new, 3) float32 in
     [0, 255] (normalisation happens in the model's preprocessing so the two
     stay fused).  Geometry matches :func:`letterbox_params` exactly; resize is
-    non-antialiased bilinear, matching cv2.INTER_LINEAR.
+    non-antialiased bilinear, matching cv2.INTER_LINEAR.  ``compute_dtype``
+    bfloat16 halves the resize cost (pixels are 8-bit; worst-case bf16
+    rounding is below quantisation noise) — the identity-resolution path
+    skips resampling entirely either way.
     """
     b, h, w = images.shape[0], images.shape[1], images.shape[2]
     r, dw, dh, (new_w, new_h), (top, bottom, left, right) = letterbox_params(
         h, w, new_shape
     )
-    resized = jax.vmap(lambda im: _bilinear_resize_no_aa(im, new_h, new_w))(images)
+    if (new_w, new_h) == (w, h):
+        resized = images.astype(jnp.float32)
+    else:
+        resized = _bilinear_resize_no_aa(images, new_h, new_w, compute_dtype)
     canvas = jnp.full(
         (b, new_shape, new_shape, 3), float(PAD_VALUE), dtype=jnp.float32
     )

@@ -64,6 +64,48 @@ def nms_numpy_reference(
     return np.asarray(keep, dtype=np.int64)
 
 
+def suppress_sorted(
+    cand_boxes: jnp.ndarray,
+    cand_valid: jnp.ndarray,
+    cand_cls: jnp.ndarray,
+    iou_threshold,
+) -> jnp.ndarray:
+    """Exact greedy suppression over score-DESCENDING candidates (..., K, 4).
+
+    Instead of a K-step sequential loop (latency-bound on TPU: each step is a
+    tiny vector op), run the fixpoint iteration
+
+        keep[i] <- valid[i] and no kept j < i with IoU(j, i) > thr
+
+    which converges to exactly the greedy result in as many rounds as the
+    longest suppression *chain* (typically 2-4 in real scenes, K worst case).
+    Each round is one dense (K, K) masked any-reduction — VPU-friendly.
+    Returns the keep mask (..., K).
+    """
+    k = cand_boxes.shape[-2]
+    shifted = cand_boxes + (
+        cand_cls.astype(jnp.float32) * _CLASS_OFFSET
+    )[..., None]
+    iou = box_iou(shifted, shifted)
+    j_lt_i = (
+        jnp.arange(k)[:, None] < jnp.arange(k)[None, :]
+    )  # [j, i]: j is higher-scoring than i
+    over = (iou > iou_threshold) & j_lt_i  # j suppresses i (if j kept)
+
+    def cond(carry):
+        keep, prev, it = carry
+        return jnp.logical_and(it < k, jnp.any(keep != prev))
+
+    def body(carry):
+        keep, _, it = carry
+        suppressed = jnp.any(over & keep[..., :, None], axis=-2)
+        return cand_valid & ~suppressed, keep, it + 1
+
+    init = (cand_valid, jnp.zeros_like(cand_valid), jnp.zeros((), jnp.int32))
+    keep, _, _ = jax.lax.while_loop(cond, body, init)
+    return keep
+
+
 def _nms_single(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -82,17 +124,7 @@ def _nms_single(
     cand_cls = class_ids[top_idx]
     cand_valid = top_scores > conf_threshold
 
-    shifted = cand_boxes + (cand_cls.astype(jnp.float32) * _CLASS_OFFSET)[:, None]
-    iou = box_iou(shifted, shifted)
-    j_indices = jnp.arange(k)
-
-    def body(i, suppressed):
-        keep_i = cand_valid[i] & ~suppressed[i]
-        row = (iou[i] > iou_threshold) & keep_i & (j_indices > i)
-        return suppressed | row
-
-    suppressed = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), dtype=bool))
-    keep = cand_valid & ~suppressed
+    keep = suppress_sorted(cand_boxes, cand_valid, cand_cls, iou_threshold)
 
     # Survivors are already score-sorted; compact the first max_detections.
     kept_scores = jnp.where(keep, top_scores, -1.0)
@@ -107,6 +139,33 @@ def _nms_single(
     out_cls = jnp.where(out_valid, cand_cls[sel], -1)
     out_scores = jnp.where(out_valid, out_scores, 0.0)
     return out_boxes, out_scores, out_cls, out_valid
+
+
+def nms_sorted(
+    cand_boxes: jnp.ndarray,
+    cand_scores: jnp.ndarray,
+    cand_cls: jnp.ndarray,
+    conf_threshold,
+    iou_threshold,
+    max_detections: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """NMS over an already score-descending candidate set (..., K, 4).
+
+    The fused pipeline top-k's scores *before* decoding boxes (so the full
+    (A, 4) box tensor never materialises); this entry point skips the
+    internal re-sort.  Same output contract as :func:`nms_fixed` with
+    D = ``max_detections``.
+    """
+    cand_valid = cand_scores > conf_threshold
+    keep = suppress_sorted(cand_boxes, cand_valid, cand_cls, iou_threshold)
+    kept_scores = jnp.where(keep, cand_scores, -1.0)
+    out_scores, sel = jax.lax.top_k(kept_scores, max_detections)
+    out_valid = out_scores > conf_threshold
+    out_boxes = jnp.where(
+        out_valid[..., None], jnp.take_along_axis(cand_boxes, sel[..., None], -2), 0.0
+    )
+    out_cls = jnp.where(out_valid, jnp.take_along_axis(cand_cls, sel, -1), -1)
+    return out_boxes, jnp.where(out_valid, out_scores, 0.0), out_cls, out_valid
 
 
 @functools.partial(jax.jit, static_argnums=(5, 6))

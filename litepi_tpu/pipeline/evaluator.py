@@ -1,0 +1,386 @@
+"""Dataset evaluation driver: the reference ``e2e.py`` main-loop semantics
+on batched TPU programs.
+
+Reference flow per image (process_image, e2e.py:955-1011): imread -> parse
+YOLO label -> PASS 1 at benchmark_conf (timed, the "real FPS" number) ->
+PASS 2 at yolo_conf=0.001 (the mAP pass) -> accumulate predictions + stage
+timings.  Here images run in batches; the mAP pass is a single low-conf
+detect (greedy NMS survivors above a threshold are identical whether the
+filter is applied before or after suppression, so one low-conf pass yields
+both operating points), while the benchmark pass is timed separately at
+benchmark_conf like the reference does.
+
+ROI crops for the *eval* path are taken from the original-resolution image on
+the host (cv2, integer-truncated coords — the reference's crop semantics,
+e2e.py:459-485) and classified in device batches; the fused in-graph path is
+the serving/bench configuration.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from litepi_tpu.core.metrics import PipelineMetrics, read_host_counters
+from litepi_tpu.evals.labels import parse_yolo_label
+from litepi_tpu.evals.map import evaluate_predictions
+from litepi_tpu.ops.letterbox import letterbox_host
+from litepi_tpu.pipeline.two_stage import TwoStagePipeline
+
+
+class PipelineEvaluator:
+    def __init__(
+        self,
+        pipe: TwoStagePipeline,
+        class_names: Optional[Dict[int, str]] = None,
+    ) -> None:
+        self.pipe = pipe
+        self.class_names = class_names or {}
+
+    # ------------------------------------------------------------------ #
+
+    def _load_batch(self, paths: Sequence[str]):
+        import cv2
+
+        size = self.pipe.cfg.det_input_size
+        canvases, geoms, images = [], [], []
+        for p in paths:
+            img = cv2.imread(p)
+            if img is None:
+                images.append(None)
+                canvases.append(np.full((size, size, 3), 114, np.uint8))
+                geoms.append((1.0, 0.0, 0.0, 0, 0))
+                continue
+            canvas, r, (dw, dh) = letterbox_host(img, size)
+            images.append(img)
+            canvases.append(canvas)
+            geoms.append((r, dw, dh, img.shape[1], img.shape[0]))
+        return np.stack(canvases), geoms, images
+
+    def _crop_rois(self, image: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+        """Host ROI crops, reference semantics: int-truncated slice +
+        cv2.resize to cls_input_size (e2e_optimize.py's no-PIL variant)."""
+        import cv2
+
+        c = self.pipe.cfg.cls_input_size
+        crops = np.zeros((len(boxes), c, c, 3), np.float32)
+        for i, b in enumerate(boxes):
+            x1, y1, x2, y2 = (int(v) for v in b)
+            x1, y1 = max(x1, 0), max(y1, 0)
+            x2 = min(max(x2, x1 + 1), image.shape[1])
+            y2 = min(max(y2, y1 + 1), image.shape[0])
+            roi = image[y1:y2, x1:x2]
+            crops[i] = cv2.resize(
+                roi.astype(np.float32), (c, c), interpolation=cv2.INTER_LINEAR
+            )
+        return crops
+
+    def run_batch(
+        self,
+        paths: Sequence[str],
+        conf_threshold: float,
+        timings: Optional[PipelineMetrics] = None,
+    ) -> List[Dict[str, np.ndarray]]:
+        """Run the two-stage pipeline over a batch of image paths.
+
+        Returns one result dict per image: boxes (N, 4) xyxy original pixels,
+        det_scores (N,), labels (N,) classifier argmax, cls_scores (N,).
+        BGR crops feed the classifier, matching the reference's colour
+        handling at the e2e entry point.
+        """
+        import jax
+
+        cfg = self.pipe.cfg
+        t0 = time.perf_counter()
+        canvases, geoms, images = self._load_batch(paths)
+        canvas01 = canvases.astype(np.float32) / 255.0
+
+        t1 = time.perf_counter()
+        det = jax.block_until_ready(
+            self.pipe.detect(canvas01, conf_threshold=conf_threshold)
+        )
+        t2 = time.perf_counter()
+
+        results = []
+        all_crops, crop_owner = [], []
+        for bi, (r, dw, dh, w, h) in enumerate(geoms):
+            if images[bi] is None:
+                results.append(None)
+                continue
+            valid = np.asarray(det["valid"][bi])
+            boxes640 = np.asarray(det["boxes"][bi])[valid]
+            scores = np.asarray(det["scores"][bi])[valid]
+            boxes = (boxes640 - np.array([dw, dh, dw, dh])) / r
+            boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, w)
+            boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, h)
+            areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+            keep = areas >= cfg.nms.min_area
+            boxes, scores = boxes[keep], scores[keep]
+            results.append(
+                {
+                    "boxes": boxes.astype(np.float32),
+                    "det_scores": scores.astype(np.float32),
+                }
+            )
+            crops = self._crop_rois(images[bi], boxes)
+            all_crops.append(crops)
+            crop_owner.extend([bi] * len(crops))
+        t3 = time.perf_counter()
+
+        labels_flat, cls_scores_flat = self._classify_crops(all_crops)
+        t4 = time.perf_counter()
+
+        offset = 0
+        for res in results:
+            if res is None:
+                continue
+            n = len(res["boxes"])
+            res["labels"] = labels_flat[offset : offset + n]
+            res["cls_scores"] = cls_scores_flat[offset : offset + n]
+            offset += n
+
+        if timings is not None:
+            timings.t_detection += (t2 - t1) * 1e3
+            timings.t_roi_extract += (t3 - t2) * 1e3
+            timings.t_classification += (t4 - t3) * 1e3
+            timings.t_postprocess += (t1 - t0) * 1e3  # decode+letterbox host
+            timings.t_total += (t4 - t0) * 1e3
+        return results
+
+    # classifier device-call capacity: large fixed chunks — every device call
+    # pays a dispatch round-trip (severe through a tunnelled TPU), so crops
+    # go over in as few fixed-shape calls as possible
+    CLS_CHUNK = 256
+
+    def _classify_crops(self, all_crops: List[np.ndarray]):
+        import jax
+
+        if not all_crops or sum(len(c) for c in all_crops) == 0:
+            return np.zeros(0, np.int32), np.zeros(0, np.float32)
+        flat = np.concatenate(all_crops) / 255.0
+        cap = self.CLS_CHUNK
+        n = len(flat)
+        padded_n = int(np.ceil(n / cap) * cap)
+        if padded_n != n:
+            flat = np.concatenate(
+                [flat, np.zeros((padded_n - n, *flat.shape[1:]), np.float32)]
+            )
+        probs_out = []
+        for i in range(0, padded_n, cap):
+            probs_out.append(
+                np.asarray(
+                    jax.block_until_ready(self.pipe.classify(flat[i : i + cap]))
+                )
+            )
+        probs = np.concatenate(probs_out)[:n]
+        return probs.argmax(-1).astype(np.int32), probs.max(-1).astype(
+            np.float32
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def _timed_fused_pass(
+        self,
+        batches: List[List[str]],
+        trailing_real: int,
+        conf: float,
+    ) -> float:
+        """Timed benchmark pass through the fused program.
+
+        Frames are pre-decoded (the reference times ``pipeline.run`` only,
+        not imread — e2e.py:973); one device call per batch, all calls
+        issued back-to-back and blocked once, so the number reflects
+        sustained device throughput the way the serving path runs.
+        Mixed-resolution batches fall back to the staged path.
+        """
+        import cv2
+        import jax
+
+        prepared = []
+        total = 0
+        for i, batch in enumerate(batches):
+            real = trailing_real if i == len(batches) - 1 else len(batch)
+            imgs = [cv2.imread(p) for p in batch]
+            ok = all(im is not None for im in imgs) and (
+                len({im.shape for im in imgs}) == 1
+            )
+            prepared.append((np.stack(imgs) if ok else None, batch))
+            total += real
+
+        seen = set()
+        for frames, batch in prepared:
+            if frames is not None and frames.shape not in seen:
+                seen.add(frames.shape)
+                jax.block_until_ready(self.pipe.run_fused(frames, conf))
+
+        t0 = time.perf_counter()
+        device_outs = []
+        for frames, batch in prepared:
+            if frames is not None:
+                device_outs.append(self.pipe.run_fused(frames, conf))
+            else:
+                self.run_batch(batch, conf)
+        jax.block_until_ready(device_outs)
+        dt = time.perf_counter() - t0
+        return total / dt if dt > 0 else 0.0
+
+    def evaluate_dataset(
+        self,
+        image_paths: Sequence[str],
+        labels_dir: str,
+        num_classes: int,
+        yolo_conf: float = 0.001,
+        benchmark_conf: float = 0.25,
+        warmup: int = 2,
+    ) -> Dict[str, object]:
+        """Two-pass dataset evaluation (reference main loop e2e.py:1108-1139).
+
+        Returns the metric dict plus ``fps`` (benchmark-conf pass, end to
+        end including host IO) and accumulated stage timings.
+        """
+        import cv2
+
+        cfg = self.pipe.cfg
+        bs = cfg.batch_size
+        batches = [
+            list(image_paths[i : i + bs])
+            for i in range(0, len(image_paths), bs)
+        ]
+        # pad the trailing batch to the compiled shape
+        if batches and len(batches[-1]) < bs:
+            batches[-1] += [batches[-1][-1]] * (bs - len(batches[-1]))
+            trailing_real = len(image_paths) - bs * (len(batches) - 1)
+        else:
+            trailing_real = bs
+
+        for _ in range(min(warmup, len(batches))):
+            self.run_batch(batches[0], benchmark_conf)
+
+        # PASS 1 — timed benchmark pass at benchmark_conf.  Uses the FUSED
+        # program (detect->NMS->crop->classify in one device call per batch,
+        # results fetched after the loop) so dispatch latency overlaps
+        # compute — the serving configuration the FPS number describes.
+        timings = PipelineMetrics()
+        fps = self._timed_fused_pass(batches, trailing_real, benchmark_conf)
+        # stage-level timings from one staged run (diagnostic, not the FPS)
+        self.run_batch(batches[0], benchmark_conf, timings)
+
+        # PASS 2 — low-conf mAP pass
+        all_preds, all_gts = [], []
+        for i, batch in enumerate(batches):
+            real = trailing_real if i == len(batches) - 1 else bs
+            results = self.run_batch(batch, yolo_conf)
+            for p, res in zip(batch[:real], results[:real]):
+                img = cv2.imread(p)
+                h, w = (img.shape[0], img.shape[1]) if img is not None else (1, 1)
+                label_path = os.path.join(
+                    labels_dir,
+                    os.path.splitext(os.path.basename(p))[0] + ".txt",
+                )
+                gt_boxes, gt_cls = parse_yolo_label(label_path, w, h)
+                all_gts.append((gt_boxes, gt_cls))
+                if res is None:
+                    all_preds.append(
+                        (
+                            np.zeros((0, 4), np.float32),
+                            np.zeros(0, np.float32),
+                            np.zeros(0, np.int32),
+                        )
+                    )
+                else:
+                    all_preds.append(
+                        (res["boxes"], res["det_scores"], res["labels"])
+                    )
+
+        metrics = evaluate_predictions(all_preds, all_gts, num_classes)
+        metrics["fps"] = fps
+        n_imgs = len(image_paths)
+        metrics["num_images"] = len(image_paths)
+        metrics["stage_ms_per_batch"] = {
+            "detection": timings.t_detection / max(len(batches), 1),
+            "roi_extract": timings.t_roi_extract / max(len(batches), 1),
+            "classification": timings.t_classification / max(len(batches), 1),
+            "host_io": timings.t_postprocess / max(len(batches), 1),
+        }
+        metrics.update(read_host_counters())
+        return metrics
+
+
+def write_results(
+    output_dir: str,
+    combo_name: str,
+    detector_name: str,
+    classifier_name: str,
+    metrics: Dict[str, object],
+    image_paths: Sequence[str],
+    class_names: Optional[Dict[int, str]] = None,
+) -> None:
+    """Write the reference's three artifacts: append-mode
+    ``comparison_summary.csv``, per-combo ``{name}_results.csv`` (per-class
+    rows) and ``{name}_test_files.txt`` (e2e.py:1141-1185)."""
+    os.makedirs(output_dir, exist_ok=True)
+    combo_dir = os.path.join(output_dir, combo_name)
+    os.makedirs(combo_dir, exist_ok=True)
+
+    summary = os.path.join(output_dir, "comparison_summary.csv")
+    new_file = not os.path.exists(summary)
+    with open(summary, "a", newline="") as f:
+        w = csv.writer(f)
+        if new_file:
+            w.writerow(
+                [
+                    "model_combination",
+                    "detector",
+                    "classifier",
+                    "num_test_images",
+                    "mean_precision",
+                    "mean_recall",
+                    "mean_f1",
+                    "fps",
+                    "mAP50",
+                    "mAP50-95",
+                ]
+            )
+        w.writerow(
+            [
+                combo_name,
+                detector_name,
+                classifier_name,
+                metrics.get("num_images", 0),
+                metrics["precision"],
+                metrics["recall"],
+                metrics["f1"],
+                metrics.get("fps", 0.0),
+                metrics["mAP50"],
+                metrics["mAP50_95"],
+            ]
+        )
+
+    with open(
+        os.path.join(combo_dir, f"{combo_name}_results.csv"), "w", newline=""
+    ) as f:
+        w = csv.writer(f)
+        w.writerow(["class", "precision", "recall", "f1", "tp", "fp", "fn"])
+        names = class_names or {}
+        for c, row in sorted(metrics.get("per_class", {}).items()):
+            w.writerow(
+                [
+                    names.get(c, str(c)),
+                    row["precision"],
+                    row["recall"],
+                    row["f1"],
+                    row["tp"],
+                    row["fp"],
+                    row["fn"],
+                ]
+            )
+
+    with open(
+        os.path.join(combo_dir, f"{combo_name}_test_files.txt"), "w"
+    ) as f:
+        for p in image_paths:
+            f.write(os.path.basename(p) + "\n")

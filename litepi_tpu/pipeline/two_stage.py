@@ -37,7 +37,7 @@ from litepi_tpu.ops.anchors import make_anchors
 from litepi_tpu.ops.boxes import box_area, clip_boxes, xywh_to_xyxy
 from litepi_tpu.ops.dfl import decode_boxes, dfl_decode
 from litepi_tpu.ops.letterbox import letterbox_device, letterbox_params
-from litepi_tpu.ops.nms import nms_fixed
+from litepi_tpu.ops.nms import nms_sorted
 from litepi_tpu.ops.roi import crop_and_resize
 
 
@@ -78,15 +78,33 @@ class TwoStagePipeline:
     def _detect_jit(
         self, det_vars: Any, canvas01: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """canvas01: (B, S, S, 3) in [0, 1].  Returns per-anchor xyxy boxes in
-        letterbox space, max-class scores and class ids (B, A, ...)."""
+        """canvas01: (B, S, S, 3) in [0, 1].  Returns the top
+        ``max_candidates`` score-descending candidates per image:
+        (boxes (B, K, 4) xyxy in letterbox space, scores (B, K),
+        class_ids (B, K)).
+
+        Layout note: scores are reduced and top-k'd over the full anchor set
+        *before* any box math, so the only full-size (A,) tensors are the
+        head logits — an (A, 4) box tensor with a minor dim of 4 wastes 97%
+        of each TPU vector register and measured 3x the whole backbone's
+        runtime.  All box decode happens on the K candidates only.
+        """
         out = self.det_model.apply(det_vars, canvas01, train=False)
-        dist = dfl_decode(out["reg"], self.cfg.detector.reg_max)
-        boxes = decode_boxes(dist, self._anchors, self._strides, xywh=False)
-        probs = jax.nn.sigmoid(out["cls"])
+        probs = jax.nn.sigmoid(out["cls"].astype(jnp.float32))
         scores = probs.max(axis=-1)
         class_ids = probs.argmax(axis=-1).astype(jnp.int32)
-        return boxes, scores, class_ids
+
+        k = min(self.cfg.nms.max_candidates, scores.shape[-1])
+        top_scores, idx = jax.lax.top_k(scores, k)
+        reg_top = jnp.take_along_axis(
+            out["reg"].astype(jnp.float32), idx[..., None], axis=1
+        )
+        dist = dfl_decode(reg_top, self.cfg.detector.reg_max)
+        boxes = decode_boxes(
+            dist, self._anchors[idx], self._strides[idx], xywh=False
+        )
+        cls_top = jnp.take_along_axis(class_ids, idx, axis=1)
+        return boxes, top_scores, cls_top
 
     def detect(
         self, canvas01: np.ndarray, conf_threshold: Optional[float] = None
@@ -100,16 +118,21 @@ class TwoStagePipeline:
         nms_cfg = self.cfg.nms
         conf = self.cfg.benchmark_conf if conf_threshold is None else conf_threshold
         boxes, scores, class_ids = self._detect_jit(self.det_vars, canvas01)
-        b, s, c, v = nms_fixed(
+        b, s, c, v = self._nms_jit(
+            boxes, scores, class_ids, jnp.float32(conf)
+        )
+        return {"boxes": b, "scores": s, "class_ids": c, "valid": v}
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _nms_jit(self, boxes, scores, class_ids, conf):
+        return nms_sorted(
             boxes,
             scores,
             class_ids,
             conf,
-            nms_cfg.iou_threshold,
-            nms_cfg.max_candidates,
-            nms_cfg.max_detections,
+            self.cfg.nms.iou_threshold,
+            self.cfg.nms.max_detections,
         )
-        return {"boxes": b, "scores": s, "class_ids": c, "valid": v}
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _classify_jit(self, cls_vars: Any, crops01: jnp.ndarray) -> jnp.ndarray:
@@ -142,15 +165,14 @@ class TwoStagePipeline:
         size = cfg.det_input_size
         ratio, dw, dh, _, _ = letterbox_params(h, w, size)
 
-        canvas = letterbox_device(frames, size) * (1.0 / 255.0)
+        canvas = letterbox_device(frames, size, self.det_model.dtype) * (1.0 / 255.0)
         boxes, scores, class_ids = self._detect_jit(det_vars, canvas)
-        b, s, c, v = nms_fixed(
+        b, s, c, v = nms_sorted(
             boxes,
             scores,
             class_ids,
             conf_threshold,
             nms_cfg.iou_threshold,
-            nms_cfg.max_candidates,
             nms_cfg.max_detections,
         )
         # map to original pixels (static geometry: one program per resolution)
@@ -160,7 +182,11 @@ class TwoStagePipeline:
         v = v & (box_area(orig_boxes) >= nms_cfg.min_area)
 
         crops = crop_and_resize(
-            frames.astype(jnp.float32), orig_boxes, v, cfg.cls_input_size
+            frames.astype(jnp.float32),
+            orig_boxes,
+            v,
+            cfg.cls_input_size,
+            self.det_model.dtype,
         ) * (1.0 / 255.0)
         n, d = crops.shape[0], crops.shape[1]
         probs = self._classify_jit(
@@ -204,19 +230,12 @@ class TwoStagePipeline:
     ) -> "TwoStagePipeline":
         """Build a pipeline with freshly initialised (untrained) params —
         used by benchmarks, shape tests and as the training starting point."""
+        from litepi_tpu.models.init_utils import fast_init
+
         det_model = YoloLitePi(cfg.detector, dtype=dtype)
         cls_model = build_classifier(
             cfg.classifier_arch, cfg.num_classifier_classes, dtype=dtype
         )
-        k1, k2 = jax.random.split(jax.random.key(seed))
-        det_vars = det_model.init(
-            k1,
-            jnp.zeros((1, cfg.det_input_size, cfg.det_input_size, 3)),
-            train=False,
-        )
-        cls_vars = cls_model.init(
-            k2,
-            jnp.zeros((1, cfg.cls_input_size, cfg.cls_input_size, 3)),
-            train=False,
-        )
+        det_vars = fast_init(det_model, seed=seed)
+        cls_vars = fast_init(cls_model, seed=seed + 1, spatial=cfg.cls_input_size)
         return cls(cfg, det_vars, cls_vars, dtype=dtype)

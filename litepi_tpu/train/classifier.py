@@ -53,11 +53,9 @@ def create_classifier_train_state(
     lr: float = 1e-3,
     total_steps: int = 10_000,
 ) -> Tuple[ClassifierTrainState, optax.GradientTransformation]:
-    variables = model.init(
-        jax.random.key(seed),
-        jnp.zeros((1, input_size, input_size, 3)),
-        train=False,
-    )
+    from litepi_tpu.models.init_utils import fast_init
+
+    variables = fast_init(model, seed=seed, spatial=input_size)
     tx = make_optimizer(lr, total_steps)
     state = ClassifierTrainState(
         params=variables["params"],

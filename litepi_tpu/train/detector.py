@@ -63,12 +63,10 @@ def create_detector_train_state(
     lr: float = 1e-2,
     dtype: jnp.dtype = jnp.bfloat16,
 ) -> Tuple[YoloLitePi, DetectorTrainState, optax.GradientTransformation]:
+    from litepi_tpu.models.init_utils import fast_init
+
     model = YoloLitePi(cfg, dtype=dtype)
-    variables = model.init(
-        jax.random.key(seed),
-        jnp.zeros((1, cfg.input_size, cfg.input_size, 3)),
-        train=False,
-    )
+    variables = fast_init(model, seed=seed)
     tx = make_optimizer(lr)
     state = DetectorTrainState(
         params=variables["params"],

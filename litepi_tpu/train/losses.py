@@ -179,7 +179,8 @@ def detection_loss(
     w_dfl: float = 1.5,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Full detection loss.  Returns (scalar_loss, aux dict)."""
-    reg_logits, cls_logits = out["reg"], out["cls"]
+    reg_logits = out["reg"].astype(jnp.float32)
+    cls_logits = out["cls"].astype(jnp.float32)
     B, A, nc = cls_logits.shape
 
     dist = dfl_decode(reg_logits, reg_max)  # (B, A, 4) grid units

@@ -1,0 +1,98 @@
+"""Integration test: the e2e CLI over a synthetic YOLO-format dataset,
+checking the reference-compatible output artifacts (comparison_summary.csv
+append schema, per-combo results CSV, test-files manifest)."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def synth_dataset(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("data")
+    img_dir = root / "images"
+    lbl_dir = root / "labels"
+    img_dir.mkdir()
+    lbl_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        img = rng.integers(0, 100, (200, 320, 3), dtype=np.uint8)
+        # a bright "sign" rectangle
+        x, y = 40 + 30 * i % 150, 50
+        cv2.rectangle(img, (x, y), (x + 40, y + 40), (255, 255, 255), -1)
+        cv2.imwrite(str(img_dir / f"img{i}.jpg"), img)
+        cx, cy, w, h = (x + 20) / 320, (y + 20) / 200, 40 / 320, 40 / 200
+        (lbl_dir / f"img{i}.txt").write_text(f"{i % 3} {cx} {cy} {w} {h}\n")
+    return img_dir, lbl_dir
+
+
+def test_cli_end_to_end(synth_dataset, tmp_path):
+    from litepi_tpu.apps.e2e import main
+
+    img_dir, lbl_dir = synth_dataset
+    out = tmp_path / "output_eval"
+    rc = main(
+        [
+            "--input", str(img_dir),
+            "--labels", str(lbl_dir),
+            "--num_classes", "3",
+            "--det_input_size", "160",
+            "--batch_size", "2",
+            "--max_det", "8",
+            "--max_candidates", "64",
+            "--num_samples", "4",
+            "--output", str(out),
+            "--device", "cpu",
+        ]
+    )
+    assert rc == 0
+
+    summary = out / "comparison_summary.csv"
+    assert summary.exists()
+    rows = list(csv.reader(open(summary)))
+    assert rows[0] == [
+        "model_combination", "detector", "classifier", "num_test_images",
+        "mean_precision", "mean_recall", "mean_f1", "fps", "mAP50", "mAP50-95",
+    ]
+    assert rows[1][0] == "yolo_plus_v2+shufflenetv2"
+    assert int(rows[1][3]) == 4
+    assert float(rows[1][7]) > 0  # fps
+
+    combo = out / "yolo_plus_v2+shufflenetv2"
+    results = combo / "yolo_plus_v2+shufflenetv2_results.csv"
+    manifest = combo / "yolo_plus_v2+shufflenetv2_test_files.txt"
+    assert results.exists() and manifest.exists()
+    assert len(manifest.read_text().splitlines()) == 4
+
+    # appending a second run grows the summary without rewriting the header
+    rc = main(
+        [
+            "--input", str(img_dir), "--labels", str(lbl_dir),
+            "--num_classes", "3", "--det_input_size", "160",
+            "--batch_size", "2", "--max_det", "8", "--max_candidates", "64",
+            "--num_samples", "2", "--output", str(out), "--device", "cpu",
+            "--clf_arch", "resnet18",
+        ]
+    )
+    assert rc == 0
+    rows = list(csv.reader(open(summary)))
+    assert len(rows) == 3
+    assert rows[2][0] == "yolo_plus_v2+resnet18"
+
+
+def test_cli_rejects_ncnn_artifacts(synth_dataset, tmp_path, capsys):
+    from litepi_tpu.apps.e2e import main
+
+    img_dir, lbl_dir = synth_dataset
+    rc = main(
+        [
+            "--input", str(img_dir), "--labels", str(lbl_dir),
+            "--detector_param", "model.ncnn.param",
+            "--detector_bin", "model.ncnn.bin",
+        ]
+    )
+    assert rc == 2

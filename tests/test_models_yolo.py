@@ -30,7 +30,7 @@ def test_output_contract(v2_model_and_vars):
     # split 64/1 (model.ncnn.param:188-189)
     assert out["reg"].shape == (2, 8400, 4 * YOLO_PLUS_V2.reg_max)
     assert out["cls"].shape == (2, 8400, YOLO_PLUS_V2.num_classes)
-    assert out["reg"].dtype == jnp.float32
+    assert out["reg"].dtype == jnp.float32  # f32 model -> f32 logits
 
 
 def test_v2_param_budget(v2_model_and_vars):
@@ -74,8 +74,8 @@ def test_bf16_compute_stays_finite():
     x = jax.random.uniform(jax.random.key(0), (1, 320, 320, 3))
     variables = model.init(jax.random.key(0), x, train=False)
     out = model.apply(variables, x, train=False)
-    assert out["reg"].dtype == jnp.float32  # head casts back for decode/loss
-    assert bool(jnp.isfinite(out["reg"]).all())
+    assert out["reg"].dtype == jnp.bfloat16  # logits stay in compute dtype
+    assert bool(jnp.isfinite(out["reg"].astype(jnp.float32)).all())
     # params must stay float32 regardless of compute dtype
     p = variables["params"]["backbone"]["stem"]["conv"]["kernel"]
     assert p.dtype == jnp.float32

@@ -1,0 +1,91 @@
+"""Streaming app integration: video / folder / single modes on CPU,
+checking the reference per-frame CSV contract (incl. empty placeholder rows)."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def small_video(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("video")
+    path = str(root / "clip.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (320, 200))
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        frame = rng.integers(0, 120, (200, 320, 3), dtype=np.uint8)
+        cv2.rectangle(frame, (60, 50), (120, 110), (255, 255, 255), -1)
+        w.write(frame)
+    w.release()
+    return path
+
+
+COMMON = [
+    "--device", "cpu", "--img_size", "160", "--batch_size", "2",
+    "--max_det", "4", "--num_classes", "3", "--conf", "0.05",
+]
+
+
+def test_video_mode(small_video, tmp_path):
+    from litepi_tpu.apps.stream import main
+
+    out_csv = str(tmp_path / "frames.csv")
+    out_vid = str(tmp_path / "out.mp4")
+    rc = main(
+        ["--mode", "video", "--input", small_video,
+         "--save_csv", out_csv, "--save_video", out_vid] + COMMON
+    )
+    assert rc == 0
+    rows = list(csv.reader(open(out_csv)))
+    assert rows[0] == [
+        "frame", "x1", "y1", "x2", "y2", "det_conf", "class_name", "cls_conf"
+    ]
+    frames_seen = {int(r[0]) for r in rows[1:]}
+    assert frames_seen == set(range(6))  # every frame has >= 1 row
+    assert os.path.getsize(out_vid) > 0
+
+
+def test_folder_mode(tmp_path):
+    import cv2
+
+    from litepi_tpu.apps.stream import main
+
+    src = tmp_path / "imgs"
+    src.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(3):
+        img = rng.integers(0, 255, (200, 320, 3), dtype=np.uint8)
+        cv2.imwrite(str(src / f"i{i}.jpg"), img)
+    out = tmp_path / "res"
+    rc = main(["--mode", "folder", "--input", str(src), "--output", str(out)] + COMMON)
+    assert rc == 0
+    assert (out / "detections.csv").exists()
+    assert sorted(os.listdir(out)) == ["detections.csv", "i0.jpg", "i1.jpg", "i2.jpg"]
+
+
+def test_single_mode(tmp_path):
+    import cv2
+
+    from litepi_tpu.apps.stream import main
+
+    img_path = str(tmp_path / "one.jpg")
+    cv2.imwrite(
+        img_path,
+        np.random.default_rng(2).integers(0, 255, (200, 320, 3), dtype=np.uint8),
+    )
+    out_path = str(tmp_path / "annotated.jpg")
+    rc = main(
+        ["--mode", "single", "--input", img_path, "--save_image", out_path] + COMMON
+    )
+    assert rc == 0
+    assert os.path.exists(out_path)
+
+
+def test_missing_input_errors():
+    from litepi_tpu.apps.stream import main
+
+    assert main(["--mode", "video"]) == 2
