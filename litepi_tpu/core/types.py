@@ -94,6 +94,40 @@ YOLO_PLUS_V1 = DetectorConfig(
 YOLOV8N = DetectorConfig(name="yolov8n", base_channels=(64, 128, 256, 512, 1024))
 
 
+def ablation_configs(
+    width_scales=(0.5, 0.75, 1.0),
+    depth_scales=(0.33,),
+    extra=((0.75, 0.67),),
+    num_classes: int = 1,
+) -> Tuple[DetectorConfig, ...]:
+    """Width/depth ablation grid, mirroring the reference's config generator
+    (reference: train_model/revision-ablation-study.ipynb cell 6 — variants
+    w in {0.5, 0.75, 1.0} x d 0.33 plus (0.75, 0.67); "YOLO-LitePi" is the
+    w0.75 / d0.33 point).
+
+    Unlike the reference run — where Ultralytics ignored the generator's
+    ``width_multiple`` and trained ~8x larger models (SURVEY §6 footnote) —
+    these configs actually apply the scales.
+    """
+    combos = [(w, d) for d in depth_scales for w in width_scales]
+    combos += [c for c in extra if c not in combos]
+    # variant w scales the v8 base stage widths (w=0.75 reproduces the
+    # shipped yolo_plus_v2 base of 48/96/192/384/768), then the standard
+    # 0.25 width multiple applies
+    return tuple(
+        DetectorConfig(
+            name=f"ablation_w{w:g}_d{d:g}",
+            num_classes=num_classes,
+            base_channels=tuple(
+                int(round(c * w)) for c in (64, 128, 256, 512, 1024)
+            ),
+            width=0.25,
+            depth=d,
+        )
+        for w, d in combos
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class NMSConfig:
     """Fixed-shape postprocess contract.

@@ -384,3 +384,58 @@ def write_results(
     ) as f:
         for p in image_paths:
             f.write(os.path.basename(p) + "\n")
+
+    _plot_metrics(combo_dir, combo_name, metrics, class_names)
+
+
+def _plot_metrics(
+    combo_dir: str,
+    combo_name: str,
+    metrics: Dict[str, object],
+    class_names: Optional[Dict[int, str]] = None,
+) -> None:
+    """Per-combination metrics figure (the reference's ``plot_metrics``
+    output {name}_metrics.png — e2e.py:889-950): per-class P/R/F1 bars plus
+    a summary panel."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:  # pragma: no cover
+        return
+
+    per_class = metrics.get("per_class", {})
+    fig, axes = plt.subplots(1, 2, figsize=(12, 4.5))
+    if per_class:
+        names = class_names or {}
+        labels = [names.get(c, str(c)) for c in sorted(per_class)]
+        for key, color in (
+            ("precision", "#4878a8"),
+            ("recall", "#a85448"),
+            ("f1", "#6aa84f"),
+        ):
+            axes[0].plot(
+                labels,
+                [per_class[c][key] for c in sorted(per_class)],
+                marker="o",
+                ms=3,
+                lw=1,
+                label=key,
+                color=color,
+            )
+        axes[0].set_ylim(0, 1.05)
+        axes[0].legend()
+        axes[0].set_title("per-class P/R/F1 at best-F1 conf")
+        axes[0].tick_params(axis="x", rotation=90, labelsize=6)
+    summary_keys = ["precision", "recall", "f1", "mAP50", "mAP50_95"]
+    axes[1].bar(
+        summary_keys, [float(metrics[k]) for k in summary_keys], color="#4878a8"
+    )
+    axes[1].set_ylim(0, 1.05)
+    axes[1].set_title(f"{combo_name} (fps {float(metrics.get('fps', 0)):.1f})")
+    fig.tight_layout()
+    fig.savefig(
+        os.path.join(combo_dir, f"{combo_name}_metrics.png"), dpi=120
+    )
+    plt.close(fig)

@@ -1,0 +1,83 @@
+"""Detector fair-benchmark + classifier eval modules on CPU (tiny shapes)."""
+
+import numpy as np
+import pytest
+
+from litepi_tpu.bench.classifier_bench import (
+    count_params,
+    evaluate_classifier,
+    macro_prf1,
+    model_size_mb,
+    predict_topk,
+)
+from litepi_tpu.bench.detector_bench import benchmark_detector
+
+
+def test_detector_bench_row_schema():
+    row = benchmark_detector(
+        "yolo_plus_v1", batch=1, warmup=1, iters=2, input_size=128,
+        dtype="float32",
+    )
+    assert row["model"] == "yolo_plus_v1" and row["backend"] == "xla"
+    for k in ("pre_ms", "infer_ms", "post_ms", "total_ms", "fps"):
+        assert row[k] >= 0
+    assert row["total_ms"] == pytest.approx(
+        row["pre_ms"] + row["infer_ms"] + row["post_ms"], abs=0.01
+    )
+
+
+def test_macro_prf1_perfect():
+    labels = np.array([0, 1, 2, 0])
+    p, r, f1 = macro_prf1(labels.copy(), labels, 3)
+    assert p == pytest.approx(1.0, abs=1e-6)
+    assert r == pytest.approx(1.0, abs=1e-6)
+    assert f1 == pytest.approx(1.0, abs=1e-6)
+
+
+def test_macro_prf1_skips_absent_classes():
+    labels = np.array([0, 0])
+    preds = np.array([0, 1])
+    p, r, _ = macro_prf1(preds, labels, 5)
+    assert r == pytest.approx(0.5, abs=1e-6)  # only class 0 counted
+
+
+@pytest.fixture(scope="module")
+def trained_like_classifier():
+    import jax.numpy as jnp
+
+    from litepi_tpu.models import build_classifier
+    from litepi_tpu.models.init_utils import fast_init
+
+    model = build_classifier("shufflenetv2", 4)
+    return fast_init(model, seed=0, spatial=32)
+
+
+def test_evaluate_classifier_report(trained_like_classifier):
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(20, 32, 32, 3)).astype(np.float32)
+    labels = rng.integers(0, 4, 20)
+    rep = evaluate_classifier(
+        "shufflenetv2", trained_like_classifier, images, labels, 4,
+        batch=8, warmup=1, timed_iters=2,
+    )
+    assert 0.0 <= rep["accuracy"] <= 1.0
+    assert rep["params"] > 1e5
+    assert rep["size_mb"] > 0
+    assert rep["fps"] > 0
+    assert rep["params"] == count_params(trained_like_classifier)
+    assert rep["size_mb"] == pytest.approx(
+        model_size_mb(trained_like_classifier), abs=0.01
+    )
+
+
+def test_predict_topk(trained_like_classifier):
+    rng = np.random.default_rng(1)
+    img = rng.normal(size=(32, 32, 3)).astype(np.float32)
+    top = predict_topk(
+        "shufflenetv2", trained_like_classifier, img, 4, k=3,
+        class_names={0: "stop"},
+    )
+    assert len(top) == 3
+    assert top[0]["prob"] >= top[1]["prob"] >= top[2]["prob"]
+    probs = [t["prob"] for t in top]
+    assert all(0 <= q <= 1 for q in probs)

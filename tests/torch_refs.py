@@ -153,3 +153,141 @@ def randomize_bn_stats(model: nn.Module, seed: int = 0) -> None:
         if isinstance(m, nn.BatchNorm2d):
             m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.1)
             m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) * 0.5 + 0.75)
+
+
+class ConvBNReLU6T(nn.Sequential):
+    def __init__(self, inp, out, k=3, stride=1, groups=1):
+        super().__init__(
+            nn.Conv2d(inp, out, k, stride, k // 2, groups=groups, bias=False),
+            nn.BatchNorm2d(out),
+            nn.ReLU6(inplace=True),
+        )
+
+
+class InvertedResidualV2T(nn.Module):
+    """torchvision.models.mobilenetv2.InvertedResidual mirror (same keys)."""
+
+    def __init__(self, inp, oup, stride, expand_ratio):
+        super().__init__()
+        self.stride = stride
+        hidden = inp * expand_ratio
+        self.use_res = stride == 1 and inp == oup
+        layers = []
+        if expand_ratio != 1:
+            layers.append(ConvBNReLU6T(inp, hidden, k=1))
+        layers += [
+            ConvBNReLU6T(hidden, hidden, stride=stride, groups=hidden),
+            nn.Conv2d(hidden, oup, 1, 1, 0, bias=False),
+            nn.BatchNorm2d(oup),
+        ]
+        self.conv = nn.Sequential(*layers)
+
+    def forward(self, x):
+        return x + self.conv(x) if self.use_res else self.conv(x)
+
+
+class MobileNetV2T(nn.Module):
+    """torchvision mobilenet_v2 mirror (state-dict-key compatible)."""
+
+    SETTINGS = [
+        (1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+        (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1),
+    ]
+
+    def __init__(self, num_classes):
+        super().__init__()
+        features = [ConvBNReLU6T(3, 32, stride=2)]
+        inp = 32
+        for t, c, n, s in self.SETTINGS:
+            for i in range(n):
+                features.append(
+                    InvertedResidualV2T(inp, c, s if i == 0 else 1, t)
+                )
+                inp = c
+        features.append(ConvBNReLU6T(inp, 1280, k=1))
+        self.features = nn.Sequential(*features)
+        self.classifier = nn.Sequential(
+            nn.Dropout(0.2), nn.Linear(1280, num_classes)
+        )
+
+    def forward(self, x):
+        x = self.features(x)
+        x = x.mean([2, 3])
+        return self.classifier(x)
+
+
+class ConvBNSiLUT(nn.Sequential):
+    def __init__(self, inp, out, k=3, stride=1, groups=1, act=True):
+        layers = [
+            nn.Conv2d(inp, out, k, stride, k // 2, groups=groups, bias=False),
+            nn.BatchNorm2d(out, eps=1e-3),
+        ]
+        if act:
+            layers.append(nn.SiLU(inplace=True))
+        super().__init__(*layers)
+
+
+class SqueezeExcitationT(nn.Module):
+    """torchvision.ops.SqueezeExcitation mirror (keys fc1/fc2)."""
+
+    def __init__(self, input_c, squeeze_c):
+        super().__init__()
+        self.fc1 = nn.Conv2d(input_c, squeeze_c, 1)
+        self.fc2 = nn.Conv2d(squeeze_c, input_c, 1)
+
+    def forward(self, x):
+        s = x.mean((2, 3), keepdim=True)
+        s = torch.nn.functional.silu(self.fc1(s))
+        return x * torch.sigmoid(self.fc2(s))
+
+
+class MBConvT(nn.Module):
+    """torchvision.models.efficientnet.MBConv mirror (block.N keys)."""
+
+    def __init__(self, inp, oup, kernel, stride, expand):
+        super().__init__()
+        hidden = inp * expand
+        self.use_res = stride == 1 and inp == oup
+        layers = []
+        if expand != 1:
+            layers.append(ConvBNSiLUT(inp, hidden, k=1))
+        layers += [
+            ConvBNSiLUT(hidden, hidden, k=kernel, stride=stride, groups=hidden),
+            SqueezeExcitationT(hidden, max(1, inp // 4)),
+            ConvBNSiLUT(hidden, oup, k=1, act=False),
+        ]
+        self.block = nn.Sequential(*layers)
+
+    def forward(self, x):
+        return x + self.block(x) if self.use_res else self.block(x)
+
+
+class EfficientNetB0T(nn.Module):
+    """torchvision efficientnet_b0 mirror (state-dict-key compatible)."""
+
+    SETTINGS = [
+        (1, 16, 1, 1, 3), (6, 24, 2, 2, 3), (6, 40, 2, 2, 5),
+        (6, 80, 3, 2, 3), (6, 112, 3, 1, 5), (6, 192, 4, 2, 5),
+        (6, 320, 1, 1, 3),
+    ]
+
+    def __init__(self, num_classes):
+        super().__init__()
+        stages = [ConvBNSiLUT(3, 32, stride=2)]
+        inp = 32
+        for t, c, n, s, k in self.SETTINGS:
+            blocks = []
+            for i in range(n):
+                blocks.append(MBConvT(inp, c, k, s if i == 0 else 1, t))
+                inp = c
+            stages.append(nn.Sequential(*blocks))
+        stages.append(ConvBNSiLUT(inp, 1280, k=1))
+        self.features = nn.Sequential(*stages)
+        self.classifier = nn.Sequential(
+            nn.Dropout(0.2), nn.Linear(1280, num_classes)
+        )
+
+    def forward(self, x):
+        x = self.features(x)
+        x = x.mean([2, 3])
+        return self.classifier(x)
