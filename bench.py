@@ -6,6 +6,13 @@ decode -> NMS -> ROI crop -> classifier), flagship yolo_plus_v2 +
 ShuffleNetV2-91.  Reference baseline: the Pi-5 NCNN pipeline's 13.23 FPS on
 TT100K (src/tt100k/pipeline/output_eval/comparison_summary.csv:4).
 
+Measurement method: the fused step is iterated *inside one XLA program*
+(``lax.scan`` with a data dependency between iterations) and timed with a
+single dispatch+block.  In this environment the TPU sits behind a relay whose
+per-dispatch overhead is large and time-varying (hundreds of ms), while true
+device compute is steady — the in-program loop measures the device, not the
+tunnel.  ``--mode dispatch`` keeps the naive per-call loop for comparison.
+
 Prints exactly ONE JSON line on stdout.
 """
 
@@ -21,10 +28,11 @@ REFERENCE_E2E_FPS = 13.23
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=256)
-    p.add_argument("--warmup", type=int, default=3)
-    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--warmup", type=int, default=1)
+    p.add_argument("--iters", type=int, default=20)
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--mode", default="scan", choices=["scan", "dispatch"])
     # serving budget: 16 sign slots per frame at conf 0.25 (TT100K scenes
     # carry a handful of signs; the eval CLI uses larger eval budgets)
     p.add_argument("--max-det", type=int, default=16)
@@ -48,23 +56,49 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     frames_host = rng.integers(0, 256, (args.batch, 640, 640, 3), dtype=np.uint8)
-    # keep input on device so we measure compute, not PCIe staging; the
-    # streaming input path is benchmarked separately
     frames = jax.device_put(frames_host)
+    conf = jnp.float32(cfg.benchmark_conf)
+    n_iters = args.iters
 
-    def run():
-        return pipe.run_fused(frames, conf_threshold=cfg.benchmark_conf)
+    if args.mode == "scan":
 
-    for _ in range(args.warmup):
-        jax.block_until_ready(run())
+        @jax.jit
+        def bench_n(det_vars, cls_vars, frames):
+            def body(carry, _):
+                out = pipe._fused_jit(
+                    det_vars, cls_vars, (640, 640), conf, carry
+                )
+                # data-dependent perturbation chains iterations so XLA cannot
+                # collapse the loop; one cheap elementwise pass over the batch
+                bump = (out["cls_labels"].sum() % 2).astype(jnp.uint8)
+                return frames + bump, out["valid"].sum()
+            _, counts = jax.lax.scan(body, frames, None, length=n_iters)
+            return counts
 
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = run()
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+        # NB: time until a HOST FETCH of the small per-iteration outputs
+        # completes — on relayed/experimental platforms block_until_ready has
+        # been observed to return before execution finishes, yielding
+        # physically impossible numbers; a data fetch cannot lie.
+        np.asarray(bench_n(pipe.det_vars, pipe.cls_vars, frames))
+        for _ in range(args.warmup):
+            np.asarray(bench_n(pipe.det_vars, pipe.cls_vars, frames))
+        t0 = time.perf_counter()
+        counts = np.asarray(bench_n(pipe.det_vars, pipe.cls_vars, frames))
+        dt = time.perf_counter() - t0
+        assert counts.shape[0] == n_iters
+    else:
+        def run():
+            return pipe.run_fused(frames, conf_threshold=cfg.benchmark_conf)
 
-    fps = args.batch * args.iters / dt
+        for _ in range(max(args.warmup, 1)):
+            jax.block_until_ready(run())
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            out = run()
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+
+    fps = args.batch * n_iters / dt
     print(
         json.dumps(
             {
@@ -73,9 +107,11 @@ def main() -> None:
                 "unit": "frames/s",
                 "vs_baseline": round(fps / REFERENCE_E2E_FPS, 2),
                 "batch": args.batch,
+                "iters": n_iters,
+                "mode": args.mode,
                 "dtype": args.dtype,
                 "device": str(jax.devices()[0]),
-                "latency_ms_per_batch": round(dt / args.iters * 1e3, 3),
+                "latency_ms_per_batch": round(dt / n_iters * 1e3, 3),
             }
         )
     )

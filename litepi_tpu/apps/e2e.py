@@ -18,6 +18,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -30,7 +31,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--detector_variant",
         default="yolo_plus_v2",
-        choices=["yolo_plus_v2", "yolo_plus_v1", "yolov8n"],
+        choices=["yolo_plus_v2", "yolo_plus_v1", "yolov8n", "yolov11n"],
     )
     p.add_argument("--classifier", default=None, help="orbax dir or torch .pth")
     p.add_argument(
@@ -108,6 +109,7 @@ def main(argv=None) -> int:
         "yolo_plus_v2": YOLO_PLUS_V2,
         "yolo_plus_v1": YOLO_PLUS_V1,
         "yolov8n": YOLOV8N,
+        "yolov11n": YOLOV8N,  # anchors/reg_max contract; model built below
     }[args.detector_variant]
     det_cfg = DetectorConfig(
         **{
@@ -136,7 +138,12 @@ def main(argv=None) -> int:
     # ---- weights ----------------------------------------------------- #
     from litepi_tpu.models.init_utils import fast_init
 
-    det_model = YoloLitePi(cfg.detector, dtype=dtype)
+    if args.detector_variant == "yolov11n":
+        from litepi_tpu.models.yolov11 import YoloV11
+
+        det_model = YoloV11(num_classes=cfg.detector.num_classes, dtype=dtype)
+    else:
+        det_model = YoloLitePi(cfg.detector, dtype=dtype)
     if args.detector and args.detector != "random":
         det_vars = load_checkpoint(args.detector)
     else:
@@ -153,7 +160,9 @@ def main(argv=None) -> int:
         print("[warn] no --classifier weights: using random weights", file=sys.stderr)
         cls_vars = fast_init(cls_model, seed=1, spatial=cfg.cls_input_size)
 
-    pipe = TwoStagePipeline(cfg, det_vars, cls_vars, dtype=dtype)
+    pipe = TwoStagePipeline(
+        cfg, det_vars, cls_vars, dtype=dtype, det_model=det_model
+    )
     class_names = load_class_names(args.classes)
 
     # ---- data + eval -------------------------------------------------- #
@@ -164,12 +173,16 @@ def main(argv=None) -> int:
     print(f"Evaluating {len(image_paths)} images from {args.input}")
 
     evaluator = PipelineEvaluator(pipe, class_names)
+    combo_dir = f"{args.detector_variant}+{args.clf_arch}"
     metrics = evaluator.evaluate_dataset(
         image_paths,
         args.labels,
         num_classes=args.num_classes,
         yolo_conf=args.yolo_conf,
         benchmark_conf=args.benchmark_conf,
+        viz_dir=os.path.join(args.output, combo_dir, "viz")
+        if args.save_viz
+        else None,
     )
 
     det_name = args.detector_variant

@@ -158,6 +158,38 @@ class ResultsAnalyzer:
         plt.close(fig)
         return path
 
+    def plot_resource_utilization(
+        self, usage: Dict[str, Dict[str, float]]
+    ) -> str:
+        """CPU% / RSS bars per pipeline (viz.py:228-283).  ``usage``:
+        {pipeline_name: {"cpu_percent": x, "memory_mb": y}} — the counters
+        the evaluator collects via core.metrics.read_host_counters."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        names = list(usage)
+        fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+        axes[0].bar(
+            names, [usage[n].get("cpu_percent", 0.0) for n in names],
+            color="#4878a8",
+        )
+        axes[0].set_ylabel("CPU %")
+        axes[1].bar(
+            names, [usage[n].get("memory_mb", 0.0) for n in names],
+            color="#a85448",
+        )
+        axes[1].set_ylabel("RSS MB")
+        for ax in axes:
+            ax.tick_params(axis="x", rotation=30)
+        fig.suptitle("Host resource utilisation")
+        fig.tight_layout()
+        path = os.path.join(self.output_dir, "resource_utilization.png")
+        fig.savefig(path, dpi=150)
+        plt.close(fig)
+        return path
+
     def generate_summary_report(self) -> str:
         """Plain-text summary (viz.py:410-462)."""
         lines = ["=" * 60, "PIPELINE COMPARISON SUMMARY", "=" * 60]
@@ -184,6 +216,7 @@ class ResultsAnalyzer:
         self,
         stage_ms: Optional[Dict[str, Dict[str, float]]] = None,
         samples_ms: Optional[Dict[str, Sequence[float]]] = None,
+        usage: Optional[Dict[str, Dict[str, float]]] = None,
     ) -> List[str]:
         out = [
             self.plot_fps_comparison(),
@@ -193,6 +226,8 @@ class ResultsAnalyzer:
             out.append(self.plot_latency_breakdown(stage_ms))
         if samples_ms:
             out.append(self.plot_latency_distribution(samples_ms))
+        if usage:
+            out.append(self.plot_resource_utilization(usage))
         self.generate_latex_table()
         self.generate_summary_report()
         return out

@@ -32,11 +32,12 @@ class ConvBN(nn.Module):
     stride: int = 1
     groups: int = 1
     act: bool = True
+    padding: int = -1  # -1 -> k // 2 autopad; >= 0 -> explicit
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        pad = self.kernel // 2
+        pad = self.kernel // 2 if self.padding < 0 else self.padding
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),

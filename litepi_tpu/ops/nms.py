@@ -148,6 +148,7 @@ def nms_sorted(
     conf_threshold,
     iou_threshold,
     max_detections: int,
+    use_pallas: bool = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """NMS over an already score-descending candidate set (..., K, 4).
 
@@ -155,9 +156,28 @@ def nms_sorted(
     (A, 4) box tensor never materialises); this entry point skips the
     internal re-sort.  Same output contract as :func:`nms_fixed` with
     D = ``max_detections``.
+
+    On TPU the suppression runs as a Pallas kernel (ops/pallas_nms.py:
+    VMEM-resident IoU + MXU-matvec fixpoint — ~50x the XLA formulation);
+    elsewhere the XLA fixpoint is used.  Both are greedy-exact.
     """
     cand_valid = cand_scores > conf_threshold
-    keep = suppress_sorted(cand_boxes, cand_valid, cand_cls, iou_threshold)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from litepi_tpu.ops.pallas_nms import pallas_suppress
+
+        shifted = cand_boxes + (
+            cand_cls.astype(jnp.float32) * _CLASS_OFFSET
+        )[..., None]
+        squeeze = cand_boxes.ndim == 2
+        planar = jnp.swapaxes(shifted if not squeeze else shifted[None], -1, -2)
+        v = cand_valid if not squeeze else cand_valid[None]
+        keep = pallas_suppress(planar, v, iou_threshold)
+        if squeeze:
+            keep = keep[0]
+    else:
+        keep = suppress_sorted(cand_boxes, cand_valid, cand_cls, iou_threshold)
     kept_scores = jnp.where(keep, cand_scores, -1.0)
     out_scores, sel = jax.lax.top_k(kept_scores, max_detections)
     out_valid = out_scores > conf_threshold

@@ -1,0 +1,105 @@
+"""Pallas TPU kernel for greedy NMS suppression.
+
+The XLA-level implementation (ops/nms.py::suppress_sorted) round-trips the
+(K, K) IoU/overlap tensors through HBM on every fixpoint iteration.  This
+kernel keeps everything resident in VMEM: one program per image computes the
+pairwise IoU matrix from planar box coordinates, then iterates
+
+    keep <- valid AND NOT (keep @ over > 0)
+
+to the greedy fixpoint, where ``over[j, i]`` marks "higher-scoring j
+suppresses i".  The suppression step is a (1, K) x (K, K) matvec — it rides
+the MXU — and the whole loop runs without touching HBM.  K = max_candidates
+(pad to a multiple of 128 for lane alignment).
+
+Numerically identical to the oracle (tests run the kernel in interpreter
+mode against ops/nms.py's numpy reference).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _nms_kernel(boxes_ref, valid_ref, thr_ref, keep_ref):
+    """boxes_ref: (1, 4, K) planar x1,y1,x2,y2 (class-offset applied);
+    valid_ref: (1, 1, K) f32 0/1 (score > conf, score-descending order);
+    thr_ref: (1, 1) f32 IoU threshold in SMEM; keep_ref: (1, 1, K) f32 out."""
+    k = boxes_ref.shape[-1]
+    x1 = boxes_ref[0, 0:1, :]  # (1, K)
+    y1 = boxes_ref[0, 1:2, :]
+    x2 = boxes_ref[0, 2:3, :]
+    y2 = boxes_ref[0, 3:4, :]
+
+    # pairwise IoU, rows j (suppressor) x cols i (suppressee)
+    x1t = jnp.transpose(x1)  # (K, 1)
+    y1t = jnp.transpose(y1)
+    x2t = jnp.transpose(x2)
+    y2t = jnp.transpose(y2)
+    lt_x = jnp.maximum(x1t, x1)
+    lt_y = jnp.maximum(y1t, y1)
+    rb_x = jnp.minimum(x2t, x2)
+    rb_y = jnp.minimum(y2t, y2)
+    inter = jnp.maximum(rb_x - lt_x, 0.0) * jnp.maximum(rb_y - lt_y, 0.0)
+    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)  # (1, K)
+    union = jnp.transpose(area) + area - inter + 1e-6
+    iou = inter / union
+
+    # j suppresses i only when j outranks i (j < i in score order)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    thr = thr_ref[0, 0]
+    over = jnp.where(
+        (iou > thr) & (row_ids < col_ids), 1.0, 0.0
+    ).astype(jnp.float32)
+
+    valid = valid_ref[0]  # (1, K) f32
+
+    def cond(carry):
+        keep, prev, it = carry
+        return jnp.logical_and(it < k, jnp.any(keep != prev))
+
+    def body(carry):
+        keep, _, it = carry
+        hits = jnp.dot(keep, over, preferred_element_type=jnp.float32)
+        new = valid * jnp.where(hits > 0.0, 0.0, 1.0)
+        return new, keep, it + 1
+
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (valid, jnp.zeros_like(valid), jnp.zeros((), jnp.int32))
+    )
+    keep_ref[0] = keep
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def pallas_suppress(
+    boxes_planar: jnp.ndarray,  # (B, 4, K) f32, class-offset applied
+    valid: jnp.ndarray,  # (B, K) bool, score-descending
+    iou_threshold=0.45,  # traced scalar (lives in SMEM)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Greedy-NMS keep mask (B, K) bool via the Pallas kernel."""
+    b, _, k = boxes_planar.shape
+    thr = jnp.full((1, 1), iou_threshold, jnp.float32)
+    out = pl.pallas_call(
+        _nms_kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 4, k), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, 1, k), jnp.float32),
+        interpret=interpret,
+    )(
+        boxes_planar,
+        valid.astype(jnp.float32)[:, None, :],
+        thr,
+    )
+    return out[:, 0, :] > 0.5

@@ -183,6 +183,45 @@ class PipelineEvaluator:
 
     # ------------------------------------------------------------------ #
 
+    def _save_viz(
+        self,
+        viz_dir: str,
+        path: str,
+        img: np.ndarray,
+        res: Dict[str, np.ndarray],
+        gt_boxes: np.ndarray,
+        conf: float,
+    ) -> None:
+        """Annotated prediction image (reference visualize_prediction,
+        e2e.py:826-887): GT boxes blue, detections above ``conf`` green with
+        classifier label + score."""
+        import cv2
+
+        os.makedirs(viz_dir, exist_ok=True)
+        canvas = img.copy()
+        for b in gt_boxes:
+            x1, y1, x2, y2 = (int(v) for v in b)
+            cv2.rectangle(canvas, (x1, y1), (x2, y2), (255, 128, 0), 2)
+        for i in range(len(res["boxes"])):
+            if res["det_scores"][i] < conf:
+                continue
+            x1, y1, x2, y2 = (int(v) for v in res["boxes"][i])
+            label = int(res["labels"][i]) if "labels" in res else -1
+            name = self.class_names.get(label, str(label))
+            cv2.rectangle(canvas, (x1, y1), (x2, y2), (0, 220, 0), 2)
+            cv2.putText(
+                canvas,
+                f"{name} {res['det_scores'][i]:.2f}",
+                (x1, max(y1 - 5, 12)),
+                cv2.FONT_HERSHEY_SIMPLEX,
+                0.5,
+                (0, 220, 0),
+                1,
+            )
+        cv2.imwrite(
+            os.path.join(viz_dir, os.path.basename(path)), canvas
+        )
+
     def _timed_fused_pass(
         self,
         batches: List[List[str]],
@@ -236,6 +275,7 @@ class PipelineEvaluator:
         yolo_conf: float = 0.001,
         benchmark_conf: float = 0.25,
         warmup: int = 2,
+        viz_dir: Optional[str] = None,
     ) -> Dict[str, object]:
         """Two-pass dataset evaluation (reference main loop e2e.py:1108-1139).
 
@@ -294,6 +334,10 @@ class PipelineEvaluator:
                 else:
                     all_preds.append(
                         (res["boxes"], res["det_scores"], res["labels"])
+                    )
+                if viz_dir and img is not None and res is not None:
+                    self._save_viz(
+                        viz_dir, p, img, res, gt_boxes, benchmark_conf
                     )
 
         metrics = evaluate_predictions(all_preds, all_gts, num_classes)

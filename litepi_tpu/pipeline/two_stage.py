@@ -56,9 +56,12 @@ class TwoStagePipeline:
         det_vars: Any,
         cls_vars: Any,
         dtype: jnp.dtype = jnp.float32,
+        det_model: Any = None,
     ) -> None:
         self.cfg = cfg
-        self.det_model = YoloLitePi(cfg.detector, dtype=dtype)
+        # any detector with the {reg, cls} output contract plugs in
+        # (YoloLitePi family, YoloV11, ...)
+        self.det_model = det_model or YoloLitePi(cfg.detector, dtype=dtype)
         self.cls_model = build_classifier(
             cfg.classifier_arch, cfg.num_classifier_classes, dtype=dtype
         )

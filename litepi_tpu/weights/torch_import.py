@@ -184,6 +184,66 @@ _CONVERTERS = {
 }
 
 
+def convert_detector_state_dict(
+    sd: Mapping[str, np.ndarray], depths=(1, 2, 2, 1)
+) -> Tree:
+    """Ultralytics-keyed YOLOv8-family state dict -> litepi_tpu YoloLitePi
+    variables.
+
+    The reference's detectors train through Ultralytics and export as
+    ``model.{idx}.*`` module lists (train-yolo-custom-tt100k.ipynb); this maps
+    that layout (backbone 0-9, PAN 10-21, Detect 22 with cv2=box / cv3=cls
+    branches) onto the Flax module names.  The DFL expectation conv
+    (model.22.dfl) is a constant [0..reg_max) — litepi computes it in
+    ops/dfl.py, so it is skipped.
+    """
+    p: Tree = {}
+    s: Tree = {}
+
+    def conv_bn(dst: Tuple[str, ...], src: str) -> None:
+        _put_conv(p, dst + ("conv",), sd, f"{src}.conv")
+        _put_bn(p, s, dst + ("bn",), sd, f"{src}.bn")
+
+    def c2f(dst: Tuple[str, ...], src: str, n: int) -> None:
+        conv_bn(dst + ("cv1",), f"{src}.cv1")
+        conv_bn(dst + ("cv2",), f"{src}.cv2")
+        for i in range(n):
+            conv_bn(dst + (f"m{i}", "cv1"), f"{src}.m.{i}.cv1")
+            conv_bn(dst + (f"m{i}", "cv2"), f"{src}.m.{i}.cv2")
+
+    bb = ("backbone",)
+    conv_bn(bb + ("stem",), "model.0")
+    conv_bn(bb + ("down1",), "model.1")
+    c2f(bb + ("c2f1",), "model.2", depths[0])
+    conv_bn(bb + ("down2",), "model.3")
+    c2f(bb + ("c2f2",), "model.4", depths[1])
+    conv_bn(bb + ("down3",), "model.5")
+    c2f(bb + ("c2f3",), "model.6", depths[2])
+    conv_bn(bb + ("down4",), "model.7")
+    c2f(bb + ("c2f4",), "model.8", depths[3])
+    conv_bn(bb + ("sppf", "cv1"), "model.9.cv1")
+    conv_bn(bb + ("sppf", "cv2"), "model.9.cv2")
+
+    nk = ("neck",)
+    c2f(nk + ("td_p4",), "model.12", depths[0])
+    c2f(nk + ("td_p3",), "model.15", depths[0])
+    conv_bn(nk + ("bu_down3",), "model.16")
+    c2f(nk + ("bu_p4",), "model.18", depths[0])
+    conv_bn(nk + ("bu_down4",), "model.19")
+    c2f(nk + ("bu_p5",), "model.21", depths[0])
+
+    hd = ("head",)
+    for i in range(3):
+        conv_bn(hd + (f"reg{i}_cv1",), f"model.22.cv2.{i}.0")
+        conv_bn(hd + (f"reg{i}_cv2",), f"model.22.cv2.{i}.1")
+        _put_conv(p, hd + (f"reg{i}_out",), sd, f"model.22.cv2.{i}.2")
+        conv_bn(hd + (f"cls{i}_cv1",), f"model.22.cv3.{i}.0")
+        conv_bn(hd + (f"cls{i}_cv2",), f"model.22.cv3.{i}.1")
+        _put_conv(p, hd + (f"cls{i}_out",), sd, f"model.22.cv3.{i}.2")
+
+    return {"params": p, "batch_stats": s}
+
+
 def convert_classifier_state_dict(
     arch: str, state_dict: Mapping[str, np.ndarray]
 ) -> Tree:

@@ -47,9 +47,12 @@ def test_cli_end_to_end(synth_dataset, tmp_path):
             "--num_samples", "4",
             "--output", str(out),
             "--device", "cpu",
+            "--save_viz",
         ]
     )
     assert rc == 0
+    viz = out / "yolo_plus_v2+shufflenetv2" / "viz"
+    assert viz.exists() and len(list(viz.iterdir())) == 4
 
     summary = out / "comparison_summary.csv"
     assert summary.exists()

@@ -34,7 +34,12 @@ def test_analyzer_full_flow(summary_csv, tmp_path):
             "resnet18": {"detect": 10, "crop": 3, "classify": 9},
         },
         samples_ms={"shufflenetv2": [19, 20, 21, 25], "resnet18": [30, 31, 35]},
+        usage={
+            "shufflenetv2": {"cpu_percent": 40.0, "memory_mb": 900.0},
+            "resnet18": {"cpu_percent": 45.0, "memory_mb": 1100.0},
+        },
     )
+    assert len(paths) == 5
     for p in paths:
         assert os.path.exists(p) and os.path.getsize(p) > 0
 
