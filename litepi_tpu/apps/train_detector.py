@@ -56,7 +56,7 @@ def main(argv=None) -> int:
     import numpy as np
 
     from litepi_tpu.core.types import YOLO_PLUS_V1, YOLO_PLUS_V2, YOLOV8N
-    from litepi_tpu.data.dataset import DetectionDataset, Prefetcher, list_pairs
+    from litepi_tpu.data.dataset import DetectionDataset, Prefetcher
     from litepi_tpu.evals.labels import parse_yolo_label
     from litepi_tpu.evals.map import evaluate_predictions
     from litepi_tpu.parallel import (

@@ -24,12 +24,12 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Callable, Dict, List, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 
 from litepi_tpu.core.metrics import percentile_summary
-from litepi_tpu.core.types import NMSConfig, PipelineConfig
+from litepi_tpu.core.types import PipelineConfig
 from litepi_tpu.pipeline.two_stage import TwoStagePipeline
 
 

@@ -11,7 +11,7 @@ XLA.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 
@@ -127,6 +127,45 @@ def mosaic4(
         else np.zeros(0, np.int32)
     )
     return canvas, boxes, classes
+
+
+def copy_paste(
+    img: np.ndarray,
+    boxes: np.ndarray,
+    classes: np.ndarray,
+    donor_img: np.ndarray,
+    donor_boxes: np.ndarray,
+    donor_classes: np.ndarray,
+    rng: np.random.Generator,
+    p: float = 0.05,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Copy-paste augmentation: paste each donor object region into the
+    target image with probability ``p`` (the reference trains with
+    copy_paste=0.05 — train-yolo-custom-tt100k.ipynb cell 36).  Box-region
+    paste (signs are rectangular; no mask data exists in YOLO labels)."""
+    img = img.copy()
+    out_boxes = [boxes]
+    out_classes = [classes]
+    h, w = img.shape[:2]
+    for b, c in zip(donor_boxes, donor_classes):
+        if rng.uniform() >= p:
+            continue
+        x1, y1, x2, y2 = (int(v) for v in b)
+        bw, bh = x2 - x1, y2 - y1
+        if bw < 4 or bh < 4 or bw >= w or bh >= h:
+            continue
+        nx = int(rng.uniform(0, w - bw))
+        ny = int(rng.uniform(0, h - bh))
+        img[ny : ny + bh, nx : nx + bw] = donor_img[y1:y2, x1:x2]
+        out_boxes.append(
+            np.asarray([[nx, ny, nx + bw, ny + bh]], np.float32)
+        )
+        out_classes.append(np.asarray([c], np.int32))
+    return (
+        img,
+        np.concatenate(out_boxes).astype(np.float32),
+        np.concatenate(out_classes).astype(np.int32),
+    )
 
 
 # --------------------------------------------------------------------- #

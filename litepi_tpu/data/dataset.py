@@ -23,6 +23,7 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 
 from litepi_tpu.data.augment import (
+    copy_paste,
     hsv_augment,
     mix_collate,
     mosaic4,
@@ -59,6 +60,7 @@ class DetectionDataset:
         augment: bool = True,
         mosaic_p: float = 0.7,
         scale: float = 0.5,
+        copy_paste_p: float = 0.05,
         seed: int = 0,
     ) -> None:
         self.pairs = list_pairs(images_dir, labels_dir)
@@ -69,6 +71,7 @@ class DetectionDataset:
         self.augment = augment
         self.mosaic_p = mosaic_p
         self.scale = scale
+        self.copy_paste_p = copy_paste_p
         self.rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -100,12 +103,17 @@ class DetectionDataset:
             else:
                 img, boxes = self._letterbox_plain(img, boxes)
         if self.augment:
+            if self.copy_paste_p > 0:
+                donor = self._load_raw(int(rng.integers(0, len(self.pairs))))
+                img, boxes, cls = copy_paste(
+                    img, boxes, cls, *donor, rng, self.copy_paste_p
+                )
             img = hsv_augment(img, rng)
             img, boxes = random_flip_lr(img, boxes, rng)
         return img, boxes, cls
 
     def _letterbox_plain(self, img, boxes):
-        from litepi_tpu.ops.letterbox import letterbox_host, letterbox_params
+        from litepi_tpu.ops.letterbox import letterbox_host
 
         canvas, r, (dw, dh) = letterbox_host(img, self.input_size)
         return canvas, boxes * r + np.array([dw, dh, dw, dh], np.float32)

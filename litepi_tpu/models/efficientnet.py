@@ -4,7 +4,6 @@ full_appv2.py:41-68 / full_appv3.py, which classify with EfficientNet)."""
 
 from __future__ import annotations
 
-import math
 from typing import Tuple
 
 import jax.numpy as jnp

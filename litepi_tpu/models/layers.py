@@ -17,8 +17,6 @@ Numerical conventions (chosen for torch-weight-import parity):
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
-
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -58,6 +58,63 @@ class BasicBlock(nn.Module):
         return nn.relu(y + identity)
 
 
+class BottleneckBlock(nn.Module):
+    """ResNet v1.5 bottleneck (1x1 reduce, 3x3 stride, 1x1 expand x4)."""
+
+    features: int  # bottleneck width; output is 4x
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        out_c = self.features * 4
+        identity = x
+        y = nn.relu(_ConvBN(self.features, 1, 1, self.dtype, name="cb1")(x, train))
+        y = nn.relu(
+            _ConvBN(self.features, 3, self.stride, self.dtype, name="cb2")(y, train)
+        )
+        y = _ConvBN(out_c, 1, 1, self.dtype, name="cb3")(y, train)
+        if self.stride != 1 or x.shape[-1] != out_c:
+            identity = _ConvBN(out_c, 1, self.stride, self.dtype, name="down")(
+                x, train
+            )
+        return nn.relu(y + identity)
+
+
+class ResNet50Backbone(nn.Module):
+    """ResNet-50 feature extractor returning C2..C5 (strides 4/8/16/32) —
+    the Faster-RCNN backbone (reference baselines train
+    fasterrcnn_resnet50_fpn, train-other-model-tsd-*.ipynb cell 11)."""
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        dt = self.dtype
+        x = x.astype(dt)
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+            use_bias=False, dtype=dt, name="conv1",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=dt, name="bn1",
+        )(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        feats = []
+        for stage, blocks in enumerate(self.stage_sizes):
+            width = 64 * (2 ** stage)
+            for i in range(blocks):
+                stride = 2 if (stage > 0 and i == 0) else 1
+                x = BottleneckBlock(
+                    width, stride, dtype=dt, name=f"layer{stage + 1}_{i}"
+                )(x, train)
+            feats.append(x)
+        return tuple(feats)  # C2 (256ch) .. C5 (2048ch)
+
+
 class ResNet18(nn.Module):
     num_classes: int
     stage_sizes: Sequence[int] = (2, 2, 2, 2)

@@ -13,7 +13,7 @@ lowers to a layout change fused into the surrounding convs: free on TPU.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from litepi_tpu.core.types import make_divisible, scale_depth
-from litepi_tpu.models.layers import Bottleneck, C2f, ConvBN, SPPF, upsample2x_nearest
+from litepi_tpu.models.layers import Bottleneck, ConvBN, SPPF, upsample2x_nearest
 from litepi_tpu.models.yolov5 import C3
 
 

@@ -179,6 +179,13 @@ def nms_sorted(
     else:
         keep = suppress_sorted(cand_boxes, cand_valid, cand_cls, iou_threshold)
     kept_scores = jnp.where(keep, cand_scores, -1.0)
+    k = cand_boxes.shape[-2]
+    if max_detections > k:  # tiny-candidate-set edge case: pad
+        pad = max_detections - k
+        widths = [(0, 0)] * (cand_boxes.ndim - 2) + [(0, pad)]
+        kept_scores = jnp.pad(kept_scores, widths, constant_values=-1.0)
+        cand_boxes = jnp.pad(cand_boxes, widths + [(0, 0)])
+        cand_cls = jnp.pad(cand_cls, widths, constant_values=-1)
     out_scores, sel = jax.lax.top_k(kept_scores, max_detections)
     out_valid = out_scores > conf_threshold
     out_boxes = jnp.where(

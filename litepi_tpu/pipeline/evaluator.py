@@ -21,7 +21,7 @@ from __future__ import annotations
 import csv
 import os
 import time
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -342,7 +342,6 @@ class PipelineEvaluator:
 
         metrics = evaluate_predictions(all_preds, all_gts, num_classes)
         metrics["fps"] = fps
-        n_imgs = len(image_paths)
         metrics["num_images"] = len(image_paths)
         metrics["stage_ms_per_batch"] = {
             "detection": timings.t_detection / max(len(batches), 1),

@@ -34,7 +34,7 @@ import numpy as np
 from litepi_tpu.core.types import PipelineConfig
 from litepi_tpu.models import YoloLitePi, build_classifier
 from litepi_tpu.ops.anchors import make_anchors
-from litepi_tpu.ops.boxes import box_area, clip_boxes, xywh_to_xyxy
+from litepi_tpu.ops.boxes import box_area, clip_boxes
 from litepi_tpu.ops.dfl import decode_boxes, dfl_decode
 from litepi_tpu.ops.letterbox import letterbox_device, letterbox_params
 from litepi_tpu.ops.nms import nms_sorted

@@ -77,6 +77,41 @@ def test_cutmix_preserves_label_mass():
     np.testing.assert_allclose(soft.sum(-1), 1.0, atol=1e-5)
 
 
+def test_copy_paste_adds_objects():
+    from litepi_tpu.data.augment import copy_paste
+
+    rng = np.random.default_rng(7)
+    img = np.zeros((100, 160, 3), np.uint8)
+    boxes = np.array([[5, 5, 20, 20]], np.float32)
+    cls = np.array([0], np.int32)
+    donor = np.full((100, 160, 3), 200, np.uint8)
+    d_boxes = np.array([[30, 30, 60, 70]], np.float32)
+    d_cls = np.array([2], np.int32)
+    out_img, out_boxes, out_cls = copy_paste(
+        img, boxes, cls, donor, d_boxes, d_cls, rng, p=1.0
+    )
+    assert len(out_boxes) == 2 and out_cls.tolist() == [0, 2]
+    x1, y1, x2, y2 = (int(v) for v in out_boxes[1])
+    assert (x2 - x1, y2 - y1) == (30, 40)  # donor region size preserved
+    assert (out_img[y1:y2, x1:x2] == 200).all()  # pixels actually pasted
+    assert (img == 0).all()  # original untouched (copy semantics)
+
+
+def test_copy_paste_p_zero_is_identity():
+    from litepi_tpu.data.augment import copy_paste
+
+    rng = np.random.default_rng(8)
+    img = np.zeros((50, 50, 3), np.uint8)
+    boxes = np.zeros((0, 4), np.float32)
+    cls = np.zeros(0, np.int32)
+    out_img, out_boxes, _ = copy_paste(
+        img, boxes, cls, img, np.array([[5, 5, 20, 20]], np.float32),
+        np.array([1], np.int32), rng, p=0.0,
+    )
+    assert len(out_boxes) == 0
+    np.testing.assert_array_equal(out_img, img)
+
+
 def test_mix_collate_p_zero_is_plain_onehot():
     rng = np.random.default_rng(6)
     imgs = rng.uniform(0, 1, (4, 8, 8, 3)).astype(np.float32)
