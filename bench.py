@@ -37,6 +37,10 @@ def main() -> None:
     # carry a handful of signs; the eval CLI uses larger eval budgets)
     p.add_argument("--max-det", type=int, default=16)
     p.add_argument("--max-candidates", type=int, default=256)
+    p.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="capture a jax.profiler trace of the timed run into DIR",
+    )
     args = p.parse_args()
 
     import jax
@@ -82,9 +86,17 @@ def main() -> None:
         np.asarray(bench_n(pipe.det_vars, pipe.cls_vars, frames))
         for _ in range(args.warmup):
             np.asarray(bench_n(pipe.det_vars, pipe.cls_vars, frames))
-        t0 = time.perf_counter()
-        counts = np.asarray(bench_n(pipe.det_vars, pipe.cls_vars, frames))
-        dt = time.perf_counter() - t0
+        import contextlib
+
+        prof = (
+            jax.profiler.trace(args.profile)
+            if args.profile
+            else contextlib.nullcontext()
+        )
+        with prof:
+            t0 = time.perf_counter()
+            counts = np.asarray(bench_n(pipe.det_vars, pipe.cls_vars, frames))
+            dt = time.perf_counter() - t0
         assert counts.shape[0] == n_iters
     else:
         def run():

@@ -64,6 +64,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # output
     p.add_argument("--output", default="output_eval")
     p.add_argument("--save_viz", action="store_true")
+    # e2e_optimize.py's extra knobs (e2e_optimize.py:882-889); --no_jit is
+    # meaningless under XLA (everything is jit) but accepted for script
+    # compatibility
+    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--no_jit", action="store_true", help=argparse.SUPPRESS)
     return p
 
 
@@ -180,6 +185,7 @@ def main(argv=None) -> int:
         num_classes=args.num_classes,
         yolo_conf=args.yolo_conf,
         benchmark_conf=args.benchmark_conf,
+        warmup=args.warmup,
         viz_dir=os.path.join(args.output, combo_dir, "viz")
         if args.save_viz
         else None,
