@@ -83,6 +83,51 @@ def test_subsample_mask_budget():
     assert np.asarray(subsample_mask(mask2, 10, key)).sum() == 3
 
 
+@pytest.mark.slow
+def test_frcnn_loss_decreases_with_training(tiny_frcnn):
+    """A few optimizer steps must reduce the combined RPN+ROI loss through
+    the real forward (training-validation smoke for the heaviest baseline)."""
+    import optax
+
+    model, variables = tiny_frcnn
+    params, stats = variables["params"], variables["batch_stats"]
+    tx = optax.adam(1e-4)
+    opt = tx.init(params)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 128, 128, 3)), jnp.float32)
+    gt_boxes = jnp.asarray([[[20.0, 20.0, 70.0, 70.0]]])
+    gt_labels = jnp.zeros((1, 1), jnp.int32)
+    gt_mask = jnp.ones((1, 1), bool)
+
+    from litepi_tpu.train.frcnn_loss import frcnn_loss as floss
+
+    @jax.jit
+    def step(params, stats, opt, key):
+        def loss_fn(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": stats},
+                x, train=True, mutable=["batch_stats"],
+            )
+            loss, _ = floss(out, gt_boxes, gt_labels, gt_mask, key)
+            return loss, mut["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
+        updates, new_opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), new_stats, new_opt, loss
+
+    key = jax.random.key(0)
+    first = None
+    for _ in range(6):
+        key, sub = jax.random.split(key)
+        params, stats, opt, loss = step(params, stats, opt, sub)
+        if first is None:
+            first = float(loss)
+    assert np.isfinite(float(loss))
+    assert float(loss) < 0.95 * first, (first, float(loss))
+
+
 def test_frcnn_loss_finite_and_differentiable(tiny_frcnn):
     model, variables = tiny_frcnn
     rng = np.random.default_rng(0)

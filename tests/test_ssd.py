@@ -98,6 +98,56 @@ def test_multibox_loss_drops_with_perfect_predictions():
     assert int(aux_good["num_pos"]) >= 2
 
 
+@pytest.mark.slow
+def test_ssd_loss_decreases_with_training():
+    """A few optimizer steps on one synthetic batch must reduce the multibox
+    loss through the real SSD300 forward (training-validation smoke)."""
+    import optax
+
+    from litepi_tpu.models.init_utils import fast_init
+
+    model = SSD300(num_classes=2)
+    # SSD300's grids assume a 300 input; init must trace at full size
+    variables = fast_init(model, seed=0, spatial=300)
+    params = variables["params"]
+    tx = optax.adam(1e-4)
+    opt = tx.init(params)
+
+    db_xywh = jnp.asarray(ssd_default_boxes(300))
+    db_xyxy = xywh_to_xyxy(db_xywh)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(0, 1, (2, 300, 300, 3)), jnp.float32)
+    gt = jnp.asarray(
+        [
+            [[30.0, 30.0, 120.0, 120.0], [0.0, 0.0, 0.0, 0.0]],
+            [[150.0, 150.0, 280.0, 260.0], [40.0, 200.0, 110.0, 270.0]],
+        ]
+    )
+    labels = jnp.asarray([[0, 0], [1, 0]], jnp.int32)
+    mask = jnp.asarray([[True, False], [True, True]])
+
+    @jax.jit
+    def step(params, opt):
+        def loss_fn(p):
+            out = model.apply({"params": p}, imgs)
+            loss, _ = multibox_loss(
+                out, db_xyxy, db_xywh, gt, labels, mask
+            )
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, new_opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), new_opt, loss
+
+    first = None
+    for _ in range(8):
+        params, opt, loss = step(params, opt)
+        if first is None:
+            first = float(loss)
+    assert np.isfinite(float(loss))
+    assert float(loss) < 0.9 * first, (first, float(loss))
+
+
 def test_multibox_loss_gradients_flow():
     db_xywh = jnp.asarray(ssd_default_boxes(300))
     db_xyxy = xywh_to_xyxy(db_xywh)
