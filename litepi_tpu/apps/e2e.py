@@ -61,6 +61,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     )  # accepted for compatibility; XLA owns on-chip threading
     p.add_argument("--device", default="tpu", choices=["tpu", "cpu"])
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    # metric semantics: "reference" reproduces the reference evaluator
+    # exactly (e2e.py:656-824) so CSV rows are comparable to its published
+    # numbers; "ultralytics" is the stricter Ultralytics-contract evaluator
+    p.add_argument(
+        "--metrics", default="reference", choices=["reference", "ultralytics"]
+    )
     # output
     p.add_argument("--output", default="output_eval")
     p.add_argument("--save_viz", action="store_true")
@@ -189,6 +195,7 @@ def main(argv=None) -> int:
         viz_dir=os.path.join(args.output, combo_dir, "viz")
         if args.save_viz
         else None,
+        metrics_mode=args.metrics,
     )
 
     det_name = args.detector_variant

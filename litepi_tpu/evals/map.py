@@ -1,10 +1,14 @@
-"""Ultralytics-style detection metrics: P / R / F1, mAP@0.5, mAP@0.5:0.95.
+"""Ultralytics-contract detection metrics: P / R / F1, mAP@0.5, mAP@0.5:0.95.
 
-Re-derives the reference's ``evaluate_predictions`` semantics
-(e2e.py:656-824): per-image IoU matrices, greedy unique matching at 10 IoU
-thresholds (0.5:0.95:0.05), confidence-sorted per-class PR curves, 101-point
-interpolated AP, operating point at the best-F1 confidence, and mAP averaged
-over **classes present in the ground truth only** (e2e.py:803-811).
+This is the **opt-in** evaluator (``--metrics ultralytics``).  It follows the
+Ultralytics library's conventions, which differ from the reference evaluator
+(e2e.py:656-824) in three deliberate ways: (a) the AP curve is closed at
+``recall[-1] + 0.01`` (no linear bridge to recall 1.0), (b) IoU is
+class-masked *before* greedy matching, (c) the operating point is one shared
+best-mean-F1 confidence across classes.  For numbers comparable to the
+reference's published CSVs use :mod:`litepi_tpu.evals.reference` (the
+default), which reproduces the reference semantics exactly and is
+differentially tested against a transcription of its code path.
 
 Host-side numpy: metric accumulation is IO-shaped, not FLOP-shaped — it does
 not belong on the TPU.  The per-image matcher is vectorised (no Python loop

@@ -28,6 +28,7 @@ import numpy as np
 from litepi_tpu.core.metrics import PipelineMetrics, read_host_counters
 from litepi_tpu.evals.labels import parse_yolo_label
 from litepi_tpu.evals.map import evaluate_predictions
+from litepi_tpu.evals.reference import evaluate_predictions_reference
 from litepi_tpu.ops.letterbox import letterbox_host
 from litepi_tpu.pipeline.two_stage import TwoStagePipeline
 
@@ -276,8 +277,16 @@ class PipelineEvaluator:
         benchmark_conf: float = 0.25,
         warmup: int = 2,
         viz_dir: Optional[str] = None,
+        metrics_mode: str = "reference",
     ) -> Dict[str, object]:
         """Two-pass dataset evaluation (reference main loop e2e.py:1108-1139).
+
+        ``metrics_mode``: ``"reference"`` (default) uses the reference-exact
+        evaluator (evals/reference.py — AP closed at recall 1.0,
+        class-agnostic matching, per-class best-F1 points) so the CSV rows
+        are comparable to the reference's published numbers;
+        ``"ultralytics"`` is the opt-in Ultralytics-contract evaluator
+        (evals/map.py).
 
         Returns the metric dict plus ``fps`` (benchmark-conf pass, end to
         end including host IO) and accumulated stage timings.
@@ -340,7 +349,30 @@ class PipelineEvaluator:
                         viz_dir, p, img, res, gt_boxes, benchmark_conf
                     )
 
-        metrics = evaluate_predictions(all_preds, all_gts, num_classes)
+        if metrics_mode == "reference":
+            raw = evaluate_predictions_reference(all_preds, all_gts, num_classes)
+            # normalise to the scalar surface write_results/_plot_metrics
+            # consume: the CSV columns are means over GT-present classes of
+            # the per-class best-F1 values (e2e.py:1159-1171); tp/fp/fn are
+            # summed over present classes for the summary line.
+            present = np.asarray(raw["classes_present"])
+            metrics = dict(raw)
+            metrics["precision"] = raw["mean_precision"]
+            metrics["recall"] = raw["mean_recall"]
+            metrics["f1"] = raw["mean_f1"]
+            metrics["tp"] = int(np.asarray(raw["tp"])[present].sum())
+            metrics["fp"] = int(np.asarray(raw["fp"])[present].sum())
+            metrics["fn"] = int(np.asarray(raw["fn"])[present].sum())
+            metrics["ap50_per_class"] = {
+                int(c): float(np.asarray(raw["ap50_per_class"])[c])
+                for c in np.flatnonzero(present)
+            }
+            metrics["classes_present"] = np.flatnonzero(present).tolist()
+        elif metrics_mode == "ultralytics":
+            metrics = evaluate_predictions(all_preds, all_gts, num_classes)
+        else:
+            raise ValueError(f"unknown metrics_mode: {metrics_mode!r}")
+        metrics["metrics_mode"] = metrics_mode
         metrics["fps"] = fps
         metrics["num_images"] = len(image_paths)
         metrics["stage_ms_per_batch"] = {

@@ -89,7 +89,10 @@ def test_evaluate_perfect_detector():
 
 
 def test_evaluate_half_recall():
-    """One of two gts detected -> AP ~= 0.5, recall 0.5 at the best-F1 point."""
+    """One of two gts detected -> AP ~= 0.5 under the *Ultralytics* contract
+    (curve closed at recall[-1]+0.01).  The reference-exact evaluator gives
+    0.75 here — see tests/test_evals_reference.py::test_half_recall_ap_is_075;
+    this test intentionally locks the opt-in Ultralytics semantics."""
     gts = [
         (
             np.array([[10, 10, 50, 50], [100, 100, 200, 200]], np.float32),
