@@ -56,6 +56,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--max_det", type=int, default=64)
     p.add_argument("--max_candidates", type=int, default=512)
+    # mAP-pass budgets; 0 = unbounded, the reference's low-conf protocol
+    # (candidates = all anchors, survivors uncapped; host NMS)
+    p.add_argument("--eval_max_det", type=int, default=0)
+    p.add_argument("--eval_max_candidates", type=int, default=0)
     p.add_argument(
         "--detector_threads", type=int, default=4, help=argparse.SUPPRESS
     )  # accepted for compatibility; XLA owns on-chip threading
@@ -135,6 +139,8 @@ def main(argv=None) -> int:
             max_candidates=args.max_candidates,
             max_detections=args.max_det,
             min_area=args.min_area,
+            eval_max_candidates=args.eval_max_candidates,
+            eval_max_detections=args.eval_max_det,
         ),
         classifier_arch=args.clf_arch,
         num_classifier_classes=args.num_classes,

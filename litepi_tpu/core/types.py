@@ -144,6 +144,15 @@ class NMSConfig:
     max_candidates: int = 512
     max_detections: int = 64
     min_area: float = 50.0  # pixel-area floor for ROI crops (e2e.py --min_area)
+    # Budgets for the low-conf mAP pass.  The reference NMS sees *every*
+    # candidate above yolo_conf=0.001, unbounded (e2e.py:240-296); a serving
+    # budget of 512/64 clips the PR-curve tail on dense scenes and deflates
+    # recall.  The eval pass therefore decodes candidates on device and runs
+    # the exact unbounded numpy NMS on the host (in original-image space,
+    # matching the reference's suppression order).  0 = unbounded: all
+    # anchors / all survivors.
+    eval_max_candidates: int = 0
+    eval_max_detections: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

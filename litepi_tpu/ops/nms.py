@@ -10,9 +10,11 @@ That is a data-dependent-shape algorithm; under XLA everything must be static.
 1. confidence filter -> top-``max_candidates`` candidates by score
    (``lax.top_k`` — candidates beyond the budget are the lowest-scoring tail,
    matching Ultralytics' max-det style capping),
-2. per-class behaviour via the class-offset trick (shift each class's boxes to
-   a disjoint coordinate island so cross-class IoU is 0 — one class-agnostic
-   pass covers all classes),
+2. per-class behaviour via an exact class-equality mask on the pairwise IoU
+   matrix (cross-class pairs never suppress) — one pass covers all classes
+   with no float-precision caveats (the classic coordinate-offset trick
+   quantises box coordinates for large class ids; a mask is exact for any
+   class count),
 3. one K x K IoU matrix + a K-step masked greedy suppression scan: box *i* is
    kept iff no higher-scoring *kept* box overlaps it above the threshold —
    identical to the sequential greedy loop,
@@ -32,10 +34,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from litepi_tpu.ops.boxes import box_iou
-
-# Coordinate-island spacing for the class-offset trick; larger than any input
-# coordinate (detector space is 640, original images are a few thousand px).
-_CLASS_OFFSET = 1.0e5
 
 
 def nms_numpy_reference(
@@ -83,14 +81,13 @@ def suppress_sorted(
     Returns the keep mask (..., K).
     """
     k = cand_boxes.shape[-2]
-    shifted = cand_boxes + (
-        cand_cls.astype(jnp.float32) * _CLASS_OFFSET
-    )[..., None]
-    iou = box_iou(shifted, shifted)
+    iou = box_iou(cand_boxes, cand_boxes)
+    same_cls = cand_cls[..., :, None] == cand_cls[..., None, :]
     j_lt_i = (
         jnp.arange(k)[:, None] < jnp.arange(k)[None, :]
     )  # [j, i]: j is higher-scoring than i
-    over = (iou > iou_threshold) & j_lt_i  # j suppresses i (if j kept)
+    # j suppresses i (if j kept); cross-class pairs never suppress
+    over = (iou > iou_threshold) & same_cls & j_lt_i
 
     def cond(carry):
         keep, prev, it = carry
@@ -167,13 +164,14 @@ def nms_sorted(
     if use_pallas:
         from litepi_tpu.ops.pallas_nms import pallas_suppress
 
-        shifted = cand_boxes + (
-            cand_cls.astype(jnp.float32) * _CLASS_OFFSET
-        )[..., None]
         squeeze = cand_boxes.ndim == 2
-        planar = jnp.swapaxes(shifted if not squeeze else shifted[None], -1, -2)
+        bx = cand_boxes if not squeeze else cand_boxes[None]
+        cl = cand_cls if not squeeze else cand_cls[None]
+        planar = jnp.swapaxes(bx, -1, -2)
         v = cand_valid if not squeeze else cand_valid[None]
-        keep = pallas_suppress(planar, v, iou_threshold)
+        keep = pallas_suppress(
+            planar, cl.astype(jnp.float32)[:, None, :], v, iou_threshold
+        )
         if squeeze:
             keep = keep[0]
     else:

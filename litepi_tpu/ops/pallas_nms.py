@@ -26,8 +26,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _nms_kernel(boxes_ref, valid_ref, thr_ref, keep_ref):
-    """boxes_ref: (1, 4, K) planar x1,y1,x2,y2 (class-offset applied);
+def _nms_kernel(boxes_ref, cls_ref, valid_ref, thr_ref, keep_ref):
+    """boxes_ref: (1, 4, K) planar x1,y1,x2,y2;
+    cls_ref: (1, 1, K) f32 class ids (exact for ids < 2^24);
     valid_ref: (1, 1, K) f32 0/1 (score > conf, score-descending order);
     thr_ref: (1, 1) f32 IoU threshold in SMEM; keep_ref: (1, 1, K) f32 out."""
     k = boxes_ref.shape[-1]
@@ -50,12 +51,16 @@ def _nms_kernel(boxes_ref, valid_ref, thr_ref, keep_ref):
     union = jnp.transpose(area) + area - inter + 1e-6
     iou = inter / union
 
-    # j suppresses i only when j outranks i (j < i in score order)
+    # j suppresses i only when j outranks i (j < i in score order) AND the
+    # classes match — exact per-class NMS with no coordinate-offset
+    # quantisation
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    cls = cls_ref[0]  # (1, K)
+    same_cls = jnp.transpose(cls) == cls  # (K, K)
     thr = thr_ref[0, 0]
     over = jnp.where(
-        (iou > thr) & (row_ids < col_ids), 1.0, 0.0
+        (iou > thr) & same_cls & (row_ids < col_ids), 1.0, 0.0
     ).astype(jnp.float32)
 
     valid = valid_ref[0]  # (1, K) f32
@@ -76,9 +81,10 @@ def _nms_kernel(boxes_ref, valid_ref, thr_ref, keep_ref):
     keep_ref[0] = keep
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
+@functools.partial(jax.jit, static_argnums=(4,))
 def pallas_suppress(
-    boxes_planar: jnp.ndarray,  # (B, 4, K) f32, class-offset applied
+    boxes_planar: jnp.ndarray,  # (B, 4, K) f32
+    cls_planar: jnp.ndarray,  # (B, 1, K) f32 class ids
     valid: jnp.ndarray,  # (B, K) bool, score-descending
     iou_threshold=0.45,  # traced scalar (lives in SMEM)
     interpret: bool = False,
@@ -92,6 +98,7 @@ def pallas_suppress(
         in_specs=[
             pl.BlockSpec((1, 4, k), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0)),
@@ -99,6 +106,7 @@ def pallas_suppress(
         interpret=interpret,
     )(
         boxes_planar,
+        cls_planar,
         valid.astype(jnp.float32)[:, None, :],
         thr,
     )

@@ -85,6 +85,7 @@ class PipelineEvaluator:
         paths: Sequence[str],
         conf_threshold: float,
         timings: Optional[PipelineMetrics] = None,
+        eval_budget: bool = False,
     ) -> List[Dict[str, np.ndarray]]:
         """Run the two-stage pipeline over a batch of image paths.
 
@@ -92,8 +93,17 @@ class PipelineEvaluator:
         det_scores (N,), labels (N,) classifier argmax, cls_scores (N,).
         BGR crops feed the classifier, matching the reference's colour
         handling at the e2e entry point.
+
+        ``eval_budget=True`` is the mAP-pass configuration: the device stops
+        at candidate decode and the exact unbounded greedy NMS runs on the
+        host in *original-image space* — the reference's literal suppression
+        order (conf filter -> un-letterbox -> clip -> per-class NMS,
+        e2e.py:240-296) with no fixed-shape candidate or detection caps.
+        The serving path (default) keeps NMS on device.
         """
         import jax
+
+        from litepi_tpu.ops.nms import nms_numpy_reference
 
         cfg = self.pipe.cfg
         t0 = time.perf_counter()
@@ -101,9 +111,17 @@ class PipelineEvaluator:
         canvas01 = canvases.astype(np.float32) / 255.0
 
         t1 = time.perf_counter()
-        det = jax.block_until_ready(
-            self.pipe.detect(canvas01, conf_threshold=conf_threshold)
-        )
+        if eval_budget:
+            cand = jax.block_until_ready(
+                self.pipe.detect_candidates(canvas01)
+            )
+            cand_boxes = np.asarray(cand[0])
+            cand_scores = np.asarray(cand[1])
+            cand_cls = np.asarray(cand[2])
+        else:
+            det = jax.block_until_ready(
+                self.pipe.detect(canvas01, conf_threshold=conf_threshold)
+            )
         t2 = time.perf_counter()
 
         results = []
@@ -112,12 +130,33 @@ class PipelineEvaluator:
             if images[bi] is None:
                 results.append(None)
                 continue
-            valid = np.asarray(det["valid"][bi])
-            boxes640 = np.asarray(det["boxes"][bi])[valid]
-            scores = np.asarray(det["scores"][bi])[valid]
+            if eval_budget:
+                sel = cand_scores[bi] > conf_threshold
+                boxes640 = cand_boxes[bi][sel]
+                scores = cand_scores[bi][sel]
+                cls_ids = cand_cls[bi][sel]
+            else:
+                valid = np.asarray(det["valid"][bi])
+                boxes640 = np.asarray(det["boxes"][bi])[valid]
+                scores = np.asarray(det["scores"][bi])[valid]
+                cls_ids = None
             boxes = (boxes640 - np.array([dw, dh, dw, dh])) / r
             boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, w)
             boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, h)
+            if eval_budget and len(boxes):
+                # exact per-class greedy NMS on the clipped original-space
+                # boxes (reference per-class dispatch, e2e.py:280-296)
+                keep_mask = np.zeros(len(boxes), bool)
+                for c in np.unique(cls_ids):
+                    idx = np.flatnonzero(cls_ids == c)
+                    kept = nms_numpy_reference(
+                        boxes[idx], scores[idx], cfg.nms.iou_threshold
+                    )
+                    keep_mask[idx[kept]] = True
+                boxes, scores = boxes[keep_mask], scores[keep_mask]
+                if cfg.nms.eval_max_detections:
+                    order = np.argsort(-scores)[: cfg.nms.eval_max_detections]
+                    boxes, scores = boxes[order], scores[order]
             areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
             keep = areas >= cfg.nms.min_area
             boxes, scores = boxes[keep], scores[keep]
@@ -318,11 +357,13 @@ class PipelineEvaluator:
         # stage-level timings from one staged run (diagnostic, not the FPS)
         self.run_batch(batches[0], benchmark_conf, timings)
 
-        # PASS 2 — low-conf mAP pass
+        # PASS 2 — low-conf mAP pass, on the larger eval NMS budgets (the
+        # reference evaluates unbounded at yolo_conf; the serving budget
+        # would clip the PR-curve tail on dense scenes)
         all_preds, all_gts = [], []
         for i, batch in enumerate(batches):
             real = trailing_real if i == len(batches) - 1 else bs
-            results = self.run_batch(batch, yolo_conf)
+            results = self.run_batch(batch, yolo_conf, eval_budget=True)
             for p, res in zip(batch[:real], results[:real]):
                 img = cv2.imread(p)
                 h, w = (img.shape[0], img.shape[1]) if img is not None else (1, 1)

@@ -77,12 +77,16 @@ class TwoStagePipeline:
     # stage programs                                                      #
     # ------------------------------------------------------------------ #
 
-    @functools.partial(jax.jit, static_argnums=(0,))
+    @functools.partial(jax.jit, static_argnums=(0, 3))
     def _detect_jit(
-        self, det_vars: Any, canvas01: jnp.ndarray
+        self,
+        det_vars: Any,
+        canvas01: jnp.ndarray,
+        max_candidates: Optional[int] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """canvas01: (B, S, S, 3) in [0, 1].  Returns the top
-        ``max_candidates`` score-descending candidates per image:
+        ``max_candidates`` (static; defaults to the serving budget
+        ``cfg.nms.max_candidates``) score-descending candidates per image:
         (boxes (B, K, 4) xyxy in letterbox space, scores (B, K),
         class_ids (B, K)).
 
@@ -97,7 +101,8 @@ class TwoStagePipeline:
         scores = probs.max(axis=-1)
         class_ids = probs.argmax(axis=-1).astype(jnp.int32)
 
-        k = min(self.cfg.nms.max_candidates, scores.shape[-1])
+        budget = max_candidates or self.cfg.nms.max_candidates
+        k = min(budget, scores.shape[-1])
         top_scores, idx = jax.lax.top_k(scores, k)
         # DFL-decode ALL anchors (fuses into the head-output reduction), then
         # gather only 4-wide distance rows — measured faster than gathering
@@ -111,7 +116,9 @@ class TwoStagePipeline:
         return boxes, top_scores, cls_top
 
     def detect(
-        self, canvas01: np.ndarray, conf_threshold: Optional[float] = None
+        self,
+        canvas01: np.ndarray,
+        conf_threshold: Optional[float] = None,
     ) -> Dict[str, np.ndarray]:
         """Detector stage on pre-letterboxed input: forward + decode + NMS.
 
@@ -119,23 +126,43 @@ class TwoStagePipeline:
         fixed-shape.  Boxes return in 640-letterbox space; the caller
         un-letterboxes with its own per-image geometry (e2e.py:266-278).
         """
-        nms_cfg = self.cfg.nms
         conf = self.cfg.benchmark_conf if conf_threshold is None else conf_threshold
         boxes, scores, class_ids = self._detect_jit(self.det_vars, canvas01)
         b, s, c, v = self._nms_jit(
-            boxes, scores, class_ids, jnp.float32(conf)
+            boxes,
+            scores,
+            class_ids,
+            jnp.float32(conf),
+            self.cfg.nms.max_detections,
         )
         return {"boxes": b, "scores": s, "class_ids": c, "valid": v}
 
-    @functools.partial(jax.jit, static_argnums=(0,))
-    def _nms_jit(self, boxes, scores, class_ids, conf):
+    def detect_candidates(
+        self, canvas01: np.ndarray, max_candidates: Optional[int] = None
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Decoded score-descending candidates with NO suppression, for the
+        host-NMS eval path (the reference suppresses unbounded candidate
+        sets in original-image space, e2e.py:240-296 — exact parity needs
+        host NMS, so the device stops at decode here).
+
+        Returns (boxes (B, K, 4) letterbox-space xyxy, scores (B, K),
+        class_ids (B, K)) with K = ``max_candidates`` (default: the eval
+        budget, 0 meaning the full anchor set).
+        """
+        k = max_candidates or self.cfg.nms.eval_max_candidates
+        n_anchors = int(self._anchors.shape[0])
+        k = min(k, n_anchors) if k else n_anchors
+        return self._detect_jit(self.det_vars, canvas01, k)
+
+    @functools.partial(jax.jit, static_argnums=(0, 5))
+    def _nms_jit(self, boxes, scores, class_ids, conf, max_detections):
         return nms_sorted(
             boxes,
             scores,
             class_ids,
             conf,
             self.cfg.nms.iou_threshold,
-            self.cfg.nms.max_detections,
+            max_detections,
         )
 
     @functools.partial(jax.jit, static_argnums=(0,))

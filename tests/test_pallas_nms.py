@@ -36,16 +36,19 @@ def _oracle_keep(boxes, scores, cls, valid, thr):
     return keep
 
 
-@pytest.mark.parametrize("num_classes", [1, 3])
+@pytest.mark.parametrize("num_classes", [1, 3, 91])
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
 def test_kernel_matches_oracle(seed, num_classes):
     rng = np.random.default_rng(seed)
     boxes, scores, cls, valid = _sorted_dets(rng, 90, num_classes)
-    shifted = boxes + (cls.astype(np.float32) * 1e5)[:, None]
 
     got = np.asarray(
         pallas_suppress(
-            shifted.T[None], valid[None], 0.45, True  # interpret mode
+            boxes.T[None],
+            cls.astype(np.float32)[None, None, :],
+            valid[None],
+            0.45,
+            True,  # interpret mode
         )
     )[0]
     want = _oracle_keep(boxes, scores, cls, valid, 0.45)
@@ -54,20 +57,24 @@ def test_kernel_matches_oracle(seed, num_classes):
 
 def test_kernel_batched():
     rng = np.random.default_rng(9)
-    planar, valids, wants = [], [], []
+    planar, clss, valids, wants = [], [], [], []
     for _ in range(4):
         boxes, scores, cls, valid = _sorted_dets(rng, 70)
         planar.append(boxes.T)
+        clss.append(cls.astype(np.float32)[None, :])
         valids.append(valid)
         wants.append(_oracle_keep(boxes, scores, cls, valid, 0.5))
     got = np.asarray(
-        pallas_suppress(np.stack(planar), np.stack(valids), 0.5, True)
+        pallas_suppress(
+            np.stack(planar), np.stack(clss), np.stack(valids), 0.5, True
+        )
     )
     np.testing.assert_array_equal(got, np.stack(wants))
 
 
 def test_all_invalid_keeps_nothing():
     boxes = np.zeros((1, 4, K), np.float32)
+    cls = np.zeros((1, 1, K), np.float32)
     valid = np.zeros((1, K), bool)
-    got = np.asarray(pallas_suppress(boxes, valid, 0.45, True))
+    got = np.asarray(pallas_suppress(boxes, cls, valid, 0.45, True))
     assert not got.any()
