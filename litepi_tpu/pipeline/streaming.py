@@ -95,30 +95,38 @@ class StreamingRunner:
     ) -> Iterator[Tuple[List[str], Dict[str, np.ndarray]]]:
         """Stream results for ``paths`` in submission order.
 
-        Yields (batch_paths, fused outputs as numpy) per batch.  The last
-        batch is padded by repetition; callers slice by len(batch_paths).
+        Yields (batch_paths, fused outputs as numpy) per batch, with only the
+        *real* entries: the trailing batch is padded by repetition for the
+        compiled shape, but the padding is stripped before yielding, so
+        ``len(batch_paths)`` equals the leading dim of every output array and
+        no path appears twice.
         """
         bs = self.batch_size
         batches: List[List[str]] = [
             list(paths[i : i + bs]) for i in range(0, len(paths), bs)
         ]
+        trailing_real = bs
         if batches and len(batches[-1]) < bs:
+            trailing_real = len(batches[-1])
             batches[-1] += [batches[-1][-1]] * (bs - len(batches[-1]))
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
         sentinel = object()
 
         def producer() -> None:
-            for b in batches:
-                q.put((b, *self._decode_batch(b)))
+            for i, b in enumerate(batches):
+                real = trailing_real if i == len(batches) - 1 else bs
+                q.put((b[:real], *self._decode_batch(b)))
             q.put(sentinel)
 
         threading.Thread(target=producer, daemon=True).start()
 
         def finish(done) -> Tuple[List[str], Dict[str, np.ndarray]]:
             done_paths, done_out, geoms = done
-            host = {k: np.asarray(v) for k, v in done_out.items()}
+            real = len(done_paths)
+            host = {k: np.asarray(v)[:real] for k, v in done_out.items()}
             if geoms is not None:
+                geoms = geoms[:real]
                 # native path fed pre-letterboxed canvases: fused outputs are
                 # in canvas space — unmap boxes to original pixels here
                 # (crops were taken from the canvas; for 64x64 sign crops the
@@ -141,7 +149,16 @@ class StreamingRunner:
             if item is sentinel:
                 break
             batch_paths, frames, geoms = item
-            out = self.pipe.run_fused(frames, conf_threshold)  # async dispatch
+            # native path feeds pre-letterboxed canvases: scale box areas
+            # back to original pixels for the min-area floor (ratio^2)
+            area_scale = (
+                1.0 / np.maximum(geoms[:, 0], 1e-9) ** 2
+                if geoms is not None
+                else None
+            )
+            out = self.pipe.run_fused(
+                frames, conf_threshold, area_scale=area_scale
+            )  # async dispatch
             window.append((batch_paths, out, geoms))
             if len(window) > self.inflight:
                 yield finish(window.pop(0))

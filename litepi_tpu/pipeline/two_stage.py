@@ -189,6 +189,7 @@ class TwoStagePipeline:
         frame_hw: Tuple[int, int],
         conf_threshold: jnp.ndarray,
         frames: jnp.ndarray,
+        area_scale: Optional[jnp.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
         cfg = self.cfg
         nms_cfg = cfg.nms
@@ -209,8 +210,16 @@ class TwoStagePipeline:
         # map to original pixels (static geometry: one program per resolution)
         shift = jnp.asarray([dw, dh, dw, dh], jnp.float32)
         orig_boxes = clip_boxes((b - shift) / ratio, w, h)
-        # the reference drops ROIs below --min_area pixels (e2e.py:459-485)
-        v = v & (box_area(orig_boxes) >= nms_cfg.min_area)
+        # the reference drops ROIs below --min_area pixels (e2e.py:459-485),
+        # measured in ORIGINAL-image pixels.  When the caller feeds
+        # pre-letterboxed canvases (native loader path), box areas here are
+        # canvas-space and shrink by the letterbox ratio squared;
+        # ``area_scale`` (B,) carries 1/ratio^2 per frame so the floor stays
+        # in original pixels.
+        area = box_area(orig_boxes)
+        if area_scale is not None:
+            area = area * area_scale[:, None]
+        v = v & (area >= nms_cfg.min_area)
 
         crops = crop_and_resize(
             frames.astype(jnp.float32),
@@ -234,18 +243,28 @@ class TwoStagePipeline:
         }
 
     def run_fused(
-        self, frames: np.ndarray, conf_threshold: Optional[float] = None
+        self,
+        frames: np.ndarray,
+        conf_threshold: Optional[float] = None,
+        area_scale: Optional[np.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
         """Full two-stage pipeline on raw same-resolution frames.
 
         frames: (B, H, W, 3) uint8 (any colour order consistent with the
         trained weights).  Returns fixed-shape padded outputs; ``valid`` masks
-        real detections.
+        real detections.  ``area_scale`` (B,): per-frame multiplier applied
+        to box areas before the min-area floor — pass 1/letterbox_ratio^2
+        when frames are pre-letterboxed canvases of larger originals.
         """
         conf = self.cfg.benchmark_conf if conf_threshold is None else conf_threshold
         hw = (int(frames.shape[1]), int(frames.shape[2]))
         return self._fused_jit(
-            self.det_vars, self.cls_vars, hw, jnp.float32(conf), frames
+            self.det_vars,
+            self.cls_vars,
+            hw,
+            jnp.float32(conf),
+            frames,
+            None if area_scale is None else jnp.asarray(area_scale, jnp.float32),
         )
 
     # ------------------------------------------------------------------ #

@@ -49,24 +49,40 @@ def test_stream_order_and_shapes(pipe, jpeg_dir, use_native):
     seen = []
     for batch_paths, out in runner.run(jpeg_dir, conf_threshold=0.05):
         seen.extend(batch_paths)
-        assert out["boxes"].shape == (4, 8, 4)
+        # outputs are sliced to the real entries (trailing batch: 2 of 4)
+        assert out["boxes"].shape == (len(batch_paths), 8, 4)
         assert np.isfinite(out["boxes"]).all()
         if use_native:
             # boxes unmapped to original 200x120 pixel space
             assert (out["boxes"][..., [0, 2]] <= 200 + 1e-3).all()
             assert (out["boxes"][..., [1, 3]] <= 120 + 1e-3).all()
-    # all inputs covered, in order, with the trailing batch padded by repeats
-    assert seen[: len(jpeg_dir)] == list(jpeg_dir)
-    assert len(seen) == 12 and seen[-1] == jpeg_dir[-1]
+    # all inputs covered, in order, with NO duplicated padding entries
+    assert seen == list(jpeg_dir)
     runner.close()
 
 
 def test_stream_benchmark(pipe, jpeg_dir):
     runner = StreamingRunner(pipe, batch_size=4, use_native_loader=False)
     stats = runner.benchmark(jpeg_dir, conf_threshold=0.05)
-    assert stats["frames"] == 12
+    # only real frames count — padded repeats must not inflate FPS
+    assert stats["frames"] == 10
     assert stats["fps"] > 0
     runner.close()
+
+
+def test_area_scale_controls_min_area_floor(pipe, jpeg_dir):
+    """run_fused's per-frame area_scale rescales box areas before the
+    min-area floor: a huge scale passes everything the conf gate kept, a
+    tiny scale zeroes the valid mask (the native pre-letterboxed path
+    passes 1/ratio^2 so the floor stays in original pixels)."""
+    import cv2
+
+    frames = np.stack([cv2.imread(p) for p in jpeg_dir[:4]])
+    big = pipe.run_fused(frames, 0.05, area_scale=np.full(4, 1e6, np.float32))
+    tiny = pipe.run_fused(frames, 0.05, area_scale=np.full(4, 1e-9, np.float32))
+    none = pipe.run_fused(frames, 0.05)
+    assert not np.asarray(tiny["valid"]).any()
+    assert np.asarray(big["valid"]).sum() >= np.asarray(none["valid"]).sum()
 
 
 def test_native_and_cv2_paths_agree(pipe, jpeg_dir):
