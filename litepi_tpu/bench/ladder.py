@@ -15,21 +15,31 @@ L3     fused single program (detect->NMS->crop->classify), batch 8
 L4     fused program, large batch (64), serving detection budget
 =====  ==============================================================
 
-Each level runs warmup + measured iterations and reports mean/P50/P95/P99
-latency and FPS (the reference's per-level summary, runner.py:871-928), then
-a comparison report + LaTeX row set (runner.py:937-1008).
+Every level runs the REAL pipeline on real decoded frames: staged levels go
+through :meth:`PipelineEvaluator.run_images` (host letterbox -> device
+detect -> host ROI crops -> device classify — the reference's
+HybridPipeline structure), fused levels through
+:meth:`TwoStagePipeline.run_fused`.  Each level reports mean/P50/P95/P99
+latency, FPS, AND accuracy (detection mAP50 / precision / recall vs the
+dataset's ground truth, mirroring the reference's per-level
+``_compute_accuracy``, runner.py:348-370) so speedups that trade quality
+(e.g. L4's serving budget) are visible.  A comparison report + LaTeX rows
+follow (runner.py:937-1008).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from litepi_tpu.core.metrics import percentile_summary
 from litepi_tpu.core.types import PipelineConfig
+from litepi_tpu.evals.reference import evaluate_predictions_reference
+from litepi_tpu.pipeline.evaluator import PipelineEvaluator
 from litepi_tpu.pipeline.two_stage import TwoStagePipeline
 
 
@@ -46,15 +56,48 @@ class LevelSpec:
 
 LEVELS: List[LevelSpec] = [
     LevelSpec(
-        "Level 0", "staged per-image, float32 (naive port)", 1, False, "float32"
+        "Level 0", "staged per-image float32 (naive port)", 1, False, "float32"
     ),
     LevelSpec("Level 1", "model choice: lightest classifier", 1, False, "float32"),
-    LevelSpec("Level 2", "batched staged programs, bfloat16", 8, False),
-    LevelSpec("Level 3", "fused single program, batch 8", 8, True),
+    LevelSpec("Level 2", "batched staged programs + bfloat16", 8, False),
+    LevelSpec("Level 3", "fused single program batch 8", 8, True),
     LevelSpec(
-        "Level 4", "fused, batch 64, serving budget", 64, True, max_detections=16
+        "Level 4", "fused batch 64 serving budget", 64, True, max_detections=16
     ),
 ]
+
+
+def make_synthetic_dataset(
+    n: int = 16,
+    hw: Tuple[int, int] = (640, 640),
+    signs_per_image: int = 3,
+    seed: int = 0,
+) -> Tuple[np.ndarray, List[Tuple[np.ndarray, np.ndarray]]]:
+    """Fixed synthetic scene set with ground truth: textured background plus
+    bright painted 'signs' (axis-aligned boxes).  Accuracy numbers on random
+    weights will be ~0 — the point is a *fixed, labelled* input set so level
+    accuracy is comparable, matching the reference's use of a fixed 50-image
+    sample (runner.py:739-792)."""
+    h, w = hw
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 110, (n, h, w, 3), dtype=np.uint8)
+    gts = []
+    for i in range(n):
+        boxes = []
+        for _ in range(signs_per_image):
+            bw, bh = rng.integers(30, 90, 2)
+            x = int(rng.integers(0, w - bw))
+            y = int(rng.integers(0, h - bh))
+            colour = rng.integers(180, 256, 3)
+            frames[i, y : y + bh, x : x + bw] = colour
+            boxes.append([x, y, x + bw, y + bh])
+        gts.append(
+            (
+                np.asarray(boxes, np.float32),
+                np.zeros(len(boxes), np.int64),
+            )
+        )
+    return frames, gts
 
 
 class OptimizationExperiment:
@@ -64,14 +107,72 @@ class OptimizationExperiment:
     def __init__(
         self,
         base_cfg: Optional[PipelineConfig] = None,
-        frame_hw=(640, 640),
         levels: Optional[List[LevelSpec]] = None,
     ) -> None:
         self.base_cfg = base_cfg or PipelineConfig()
-        self.frame_hw = frame_hw
         self.levels = levels if levels is not None else LEVELS
         self._pipes: Dict[str, TwoStagePipeline] = {}
         self.results: Dict[str, Dict[str, float]] = {}
+        self._frames: Optional[np.ndarray] = None
+        self._gts: Optional[List[Tuple[np.ndarray, np.ndarray]]] = None
+
+    # ------------------------------------------------------------------ #
+    # dataset                                                             #
+    # ------------------------------------------------------------------ #
+
+    def use_synthetic_dataset(self, n: int = 16, seed: int = 0) -> None:
+        hw = (self.base_cfg.det_input_size, self.base_cfg.det_input_size)
+        self._frames, self._gts = make_synthetic_dataset(n, hw, seed=seed)
+
+    def load_test_dataset(
+        self,
+        images_dir: str,
+        labels_dir: Optional[str] = None,
+        max_images: int = 50,
+    ) -> int:
+        """Preload up to ``max_images`` same-resolution images (+ YOLO labels
+        when given) into RAM — the reference preloads its sample the same way
+        (runner.py:739-792).  Returns the number loaded."""
+        import cv2
+
+        from litepi_tpu.evals.labels import parse_yolo_label, sample_images
+
+        paths = sample_images(images_dir, max_images, seed=42)
+        frames, gts, shape = [], [], None
+        for p in paths:
+            img = cv2.imread(p)
+            if img is None:
+                continue
+            if shape is None:
+                shape = img.shape
+            elif img.shape != shape:
+                continue  # fused program needs one resolution per batch
+            frames.append(img)
+            if labels_dir:
+                lp = os.path.join(
+                    labels_dir,
+                    os.path.splitext(os.path.basename(p))[0] + ".txt",
+                )
+                b, c = parse_yolo_label(lp, img.shape[1], img.shape[0])
+                gts.append((b, c.astype(np.int64)))
+            else:
+                gts.append(
+                    (np.zeros((0, 4), np.float32), np.zeros(0, np.int64))
+                )
+        if not frames:
+            raise ValueError(f"no readable images in {images_dir}")
+        self._frames = np.stack(frames)
+        self._gts = gts
+        return len(frames)
+
+    def _dataset(self) -> Tuple[np.ndarray, List]:
+        if self._frames is None:
+            self.use_synthetic_dataset()
+        return self._frames, self._gts
+
+    # ------------------------------------------------------------------ #
+    # per-level pipeline                                                  #
+    # ------------------------------------------------------------------ #
 
     def _get_pipeline(self, spec: LevelSpec) -> TwoStagePipeline:
         import jax.numpy as jnp
@@ -89,44 +190,84 @@ class OptimizationExperiment:
             self._pipes[key] = TwoStagePipeline.initialize(cfg, dtype=dtype)
         return self._pipes[key]
 
-    def _run_once(self, pipe: TwoStagePipeline, spec: LevelSpec, frames):
+    def _run_once(
+        self,
+        pipe: TwoStagePipeline,
+        evaluator: PipelineEvaluator,
+        spec: LevelSpec,
+        frames: np.ndarray,
+    ) -> List[Dict[str, np.ndarray]]:
+        """One real pipeline pass over ``frames``; returns per-image result
+        dicts (boxes in original pixels, det_scores)."""
         import jax
 
         if spec.fused:
-            return jax.block_until_ready(pipe.run_fused(frames, 0.25))
-        # staged: detect on device, ROI on host, classify on device —
-        # the reference's HybridPipeline structure
-        canvas01 = frames.astype(np.float32) / 255.0
-        det = jax.block_until_ready(pipe.detect(canvas01, 0.25))
-        crops = np.zeros(
-            (len(frames), pipe.cfg.cls_input_size, pipe.cfg.cls_input_size, 3),
-            np.float32,
-        )
-        return jax.block_until_ready(pipe.classify(crops))
+            out = jax.block_until_ready(pipe.run_fused(frames, 0.25))
+            results = []
+            for bi in range(len(frames)):
+                v = np.asarray(out["valid"][bi])
+                results.append(
+                    {
+                        "boxes": np.asarray(out["boxes"][bi])[v],
+                        "det_scores": np.asarray(out["det_scores"][bi])[v],
+                    }
+                )
+            return results
+        # staged: host letterbox -> device detect -> host ROI -> device
+        # classify — the reference's HybridPipeline structure on real frames
+        return evaluator.run_images(list(frames), 0.25)
+
+    # ------------------------------------------------------------------ #
+    # measurement                                                         #
+    # ------------------------------------------------------------------ #
 
     def run_single_level(
         self,
         spec: LevelSpec,
         warmup: int = 3,
         iterations: int = 10,
-        frames: Optional[np.ndarray] = None,
     ) -> Dict[str, float]:
-        rng = np.random.default_rng(0)
-        if frames is None:
-            h, w = self.frame_hw
-            frames = rng.integers(0, 256, (spec.batch, h, w, 3), dtype=np.uint8)
+        frames, gts = self._dataset()
+        n = len(frames)
         pipe = self._get_pipeline(spec)
+        evaluator = PipelineEvaluator(pipe)
 
-        for _ in range(warmup):
-            self._run_once(pipe, spec, frames)
+        def batch_at(i: int) -> np.ndarray:
+            idx = (np.arange(spec.batch) + i * spec.batch) % n
+            return frames[idx]
+
+        for i in range(warmup):
+            self._run_once(pipe, evaluator, spec, batch_at(i))
         lat = []
-        for _ in range(iterations):
+        for i in range(iterations):
             t0 = time.perf_counter()
-            self._run_once(pipe, spec, frames)
+            self._run_once(pipe, evaluator, spec, batch_at(i))
             lat.append((time.perf_counter() - t0) * 1e3)
+
+        # accuracy pass: one full cycle over the labelled set at the same
+        # operating point (detection-level, like runner.py:348-370)
+        preds = []
+        for start in range(0, n, spec.batch):
+            idx = np.arange(start, min(start + spec.batch, n))
+            pad = spec.batch - len(idx)
+            batch = frames[np.concatenate([idx, idx[-1:].repeat(pad)])]
+            results = self._run_once(pipe, evaluator, spec, batch)
+            for res in results[: len(idx)]:
+                preds.append(
+                    (
+                        res["boxes"],
+                        res["det_scores"],
+                        np.zeros(len(res["boxes"]), np.int64),
+                    )
+                )
+        acc = evaluate_predictions_reference(preds, gts, num_classes=1)
+
         stats = percentile_summary(lat)
         stats["fps"] = spec.batch / (stats["mean"] / 1e3)
         stats["batch"] = spec.batch
+        stats["mAP50"] = float(acc["mAP50"])
+        stats["precision"] = float(acc["mean_precision"])
+        stats["recall"] = float(acc["mean_recall"])
         self.results[spec.name] = stats
         self._print_level_summary(spec, stats)
         return stats
@@ -141,14 +282,19 @@ class OptimizationExperiment:
         print(
             f"{spec.name} ({spec.description}): "
             f"fps={s['fps']:.1f} mean={s['mean']:.1f}ms "
-            f"p50={s['p50']:.1f} p95={s['p95']:.1f} p99={s['p99']:.1f}"
+            f"p50={s['p50']:.1f} p95={s['p95']:.1f} p99={s['p99']:.1f} "
+            f"mAP50={s['mAP50']:.3f} P={s['precision']:.3f} "
+            f"R={s['recall']:.3f}"
         )
 
     def generate_comparison_report(self) -> str:
         if not self.results:
             return "(no results)"
         base = next(iter(self.results.values()))["fps"]
-        lines = ["level,description,batch,fps,mean_ms,p50_ms,p95_ms,p99_ms,speedup_vs_L0"]
+        lines = [
+            "level,description,batch,fps,mean_ms,p50_ms,p95_ms,p99_ms,"
+            "speedup_vs_L0,mAP50,precision,recall"
+        ]
         for spec in self.levels:
             if spec.name not in self.results:
                 continue
@@ -156,15 +302,16 @@ class OptimizationExperiment:
             lines.append(
                 f"{spec.name},{spec.description},{s['batch']},"
                 f"{s['fps']:.2f},{s['mean']:.2f},{s['p50']:.2f},"
-                f"{s['p95']:.2f},{s['p99']:.2f},{s['fps'] / base:.2f}"
+                f"{s['p95']:.2f},{s['p99']:.2f},{s['fps'] / base:.2f},"
+                f"{s['mAP50']:.4f},{s['precision']:.4f},{s['recall']:.4f}"
             )
         return "\n".join(lines)
 
     def generate_latex(self) -> str:
         rows = [
-            "\\begin{tabular}{llrrr}",
+            "\\begin{tabular}{llrrrr}",
             "\\hline",
-            "Level & Optimisation & Batch & FPS & P95 (ms) \\\\",
+            "Level & Optimisation & Batch & FPS & P95 (ms) & mAP50 \\\\",
             "\\hline",
         ]
         for spec in self.levels:
@@ -173,7 +320,7 @@ class OptimizationExperiment:
             s = self.results[spec.name]
             rows.append(
                 f"{spec.name} & {spec.description} & {s['batch']} & "
-                f"{s['fps']:.1f} & {s['p95']:.1f} \\\\"
+                f"{s['fps']:.1f} & {s['p95']:.1f} & {s['mAP50']:.3f} \\\\"
             )
         rows += ["\\hline", "\\end{tabular}"]
         return "\n".join(rows)
@@ -186,12 +333,18 @@ def main(argv=None) -> int:  # pragma: no cover - exercised on hardware
     p.add_argument("--iterations", type=int, default=10)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--levels", type=int, default=None, help="run first N levels")
+    p.add_argument("--images", default=None, help="labelled image dir (else synthetic)")
+    p.add_argument("--labels", default=None, help="YOLO label dir for --images")
+    p.add_argument("--max_images", type=int, default=50)
     p.add_argument("--output", default=None, help="write CSV report here")
     args = p.parse_args(argv)
 
     exp = OptimizationExperiment(
         levels=LEVELS[: args.levels] if args.levels else None
     )
+    if args.images:
+        n = exp.load_test_dataset(args.images, args.labels, args.max_images)
+        print(f"loaded {n} images from {args.images}")
     exp.run_all_levels(warmup=args.warmup, iterations=args.iterations)
     report = exp.generate_comparison_report()
     print(report)

@@ -44,23 +44,18 @@ class PipelineEvaluator:
 
     # ------------------------------------------------------------------ #
 
-    def _load_batch(self, paths: Sequence[str]):
-        import cv2
-
+    def _letterbox_batch(self, images: Sequence[Optional[np.ndarray]]):
         size = self.pipe.cfg.det_input_size
-        canvases, geoms, images = [], [], []
-        for p in paths:
-            img = cv2.imread(p)
+        canvases, geoms = [], []
+        for img in images:
             if img is None:
-                images.append(None)
                 canvases.append(np.full((size, size, 3), 114, np.uint8))
                 geoms.append((1.0, 0.0, 0.0, 0, 0))
                 continue
             canvas, r, (dw, dh) = letterbox_host(img, size)
-            images.append(img)
             canvases.append(canvas)
             geoms.append((r, dw, dh, img.shape[1], img.shape[0]))
-        return np.stack(canvases), geoms, images
+        return np.stack(canvases), geoms
 
     def _crop_rois(self, image: np.ndarray, boxes: np.ndarray) -> np.ndarray:
         """Host ROI crops, reference semantics: int-truncated slice +
@@ -87,7 +82,28 @@ class PipelineEvaluator:
         timings: Optional[PipelineMetrics] = None,
         eval_budget: bool = False,
     ) -> List[Dict[str, np.ndarray]]:
-        """Run the two-stage pipeline over a batch of image paths.
+        """Run the two-stage pipeline over a batch of image paths
+        (decode from disk + :meth:`run_images`)."""
+        import cv2
+
+        t0 = time.perf_counter()
+        images = [cv2.imread(p) for p in paths]
+        decode_ms = (time.perf_counter() - t0) * 1e3
+        if timings is not None:
+            timings.t_postprocess += decode_ms
+            timings.t_total += decode_ms
+        return self.run_images(
+            images, conf_threshold, timings=timings, eval_budget=eval_budget
+        )
+
+    def run_images(
+        self,
+        images: Sequence[Optional[np.ndarray]],
+        conf_threshold: float,
+        timings: Optional[PipelineMetrics] = None,
+        eval_budget: bool = False,
+    ) -> List[Dict[str, np.ndarray]]:
+        """Run the two-stage pipeline over pre-decoded BGR frames.
 
         Returns one result dict per image: boxes (N, 4) xyxy original pixels,
         det_scores (N,), labels (N,) classifier argmax, cls_scores (N,).
@@ -107,7 +123,7 @@ class PipelineEvaluator:
 
         cfg = self.pipe.cfg
         t0 = time.perf_counter()
-        canvases, geoms, images = self._load_batch(paths)
+        canvases, geoms = self._letterbox_batch(images)
         canvas01 = canvases.astype(np.float32) / 255.0
 
         t1 = time.perf_counter()
