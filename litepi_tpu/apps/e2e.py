@@ -31,7 +31,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--detector_variant",
         default="yolo_plus_v2",
-        choices=["yolo_plus_v2", "yolo_plus_v1", "yolov8n", "yolov11n"],
+        choices=["yolo_plus_v2", "yolo_plus_v1", "yolov8n", "yolov11n", "yolov5n"],
     )
     p.add_argument("--classifier", default=None, help="orbax dir or torch .pth")
     p.add_argument(
@@ -124,7 +124,10 @@ def main(argv=None) -> int:
         "yolo_plus_v2": YOLO_PLUS_V2,
         "yolo_plus_v1": YOLO_PLUS_V1,
         "yolov8n": YOLOV8N,
-        "yolov11n": YOLOV8N,  # anchors/reg_max contract; model built below
+        # v11n/v5n share v8n's stride-8/16/32 grid for NMS budget sizing;
+        # their actual models + decoders are built below
+        "yolov11n": YOLOV8N,
+        "yolov5n": YOLOV8N,
     }[args.detector_variant]
     det_cfg = DetectorConfig(
         **{
@@ -155,10 +158,26 @@ def main(argv=None) -> int:
     # ---- weights ----------------------------------------------------- #
     from litepi_tpu.models.init_utils import fast_init
 
+    candidate_decoder = None
     if args.detector_variant == "yolov11n":
         from litepi_tpu.models.yolov11 import YoloV11
 
         det_model = YoloV11(num_classes=cfg.detector.num_classes, dtype=dtype)
+    elif args.detector_variant == "yolov5n":
+        from litepi_tpu.models.yolov5 import (
+            YoloV5,
+            v5_anchor_table,
+            v5_candidates,
+        )
+
+        det_model = YoloV5(num_classes=cfg.detector.num_classes, dtype=dtype)
+        g, s, a = (
+            jnp.asarray(t) for t in v5_anchor_table(args.det_input_size)
+        )
+
+        def candidate_decoder(out, k, _g=g, _s=s, _a=a):
+            return v5_candidates(out["pred"], _g, _s, _a, k)
+
     else:
         det_model = YoloLitePi(cfg.detector, dtype=dtype)
     if args.detector and args.detector != "random":
@@ -178,7 +197,12 @@ def main(argv=None) -> int:
         cls_vars = fast_init(cls_model, seed=1, spatial=cfg.cls_input_size)
 
     pipe = TwoStagePipeline(
-        cfg, det_vars, cls_vars, dtype=dtype, det_model=det_model
+        cfg,
+        det_vars,
+        cls_vars,
+        dtype=dtype,
+        det_model=det_model,
+        candidate_decoder=candidate_decoder,
     )
     class_names = load_class_names(args.classes)
 

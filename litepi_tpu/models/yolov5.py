@@ -176,3 +176,31 @@ def decode_v5(
     boxes = jnp.concatenate([xy - wh / 2, xy + wh / 2], axis=-1)
     cls_prob = p[..., 5:] * p[..., 4:5]
     return boxes, cls_prob.max(-1), cls_prob.argmax(-1).astype(jnp.int32)
+
+
+def v5_candidates(
+    pred: jnp.ndarray,  # (B, A, 5 + nc) raw head output
+    grid_xy: jnp.ndarray,
+    strides: jnp.ndarray,
+    anchor_wh: jnp.ndarray,
+    k: int = 512,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Top-``k`` score-descending v5 candidates (decode only the selected
+    anchors — same top-k-before-box-math layout rule as the anchor-free
+    path, ops/dfl.py::decode_candidates).
+
+    Returns (boxes (B, K, 4) xyxy pixels, scores (B, K), class_ids (B, K)).
+    """
+    obj = jax.nn.sigmoid(pred[..., 4].astype(jnp.float32))
+    cls_p = jax.nn.sigmoid(pred[..., 5:].astype(jnp.float32))
+    scores = cls_p.max(-1) * obj
+    class_ids = cls_p.argmax(-1).astype(jnp.int32)
+    k = min(k, scores.shape[-1])
+    top_scores, idx = jax.lax.top_k(scores, k)
+    sel = jnp.take_along_axis(pred[..., :4].astype(jnp.float32), idx[..., None], 1)
+    p = jax.nn.sigmoid(sel)
+    xy = (2.0 * p[..., 0:2] - 0.5 + grid_xy[idx]) * strides[idx]
+    wh = (2.0 * p[..., 2:4]) ** 2 * anchor_wh[idx]
+    boxes = jnp.concatenate([xy - wh / 2, xy + wh / 2], axis=-1)
+    cls_top = jnp.take_along_axis(class_ids, idx, axis=1)
+    return boxes, top_scores, cls_top

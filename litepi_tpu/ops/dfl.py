@@ -50,3 +50,37 @@ def decode_boxes(
         wh = x2y2 - x1y1
         return jnp.concatenate([c, wh], axis=-1) * strides
     return jnp.concatenate([x1y1, x2y2], axis=-1) * strides
+
+
+def decode_candidates(
+    head_out,
+    anchor_points: jnp.ndarray,
+    strides: jnp.ndarray,
+    reg_max: int = 16,
+    k: int = 512,
+):
+    """Top-``k`` score-descending candidates from a ``{reg, cls}`` head
+    output (the YoloLitePi/YoloV11 contract).
+
+    Scores are reduced and top-k'd over the full anchor set *before* any box
+    math, so the only full-size (A,) tensors are the head logits — an (A, 4)
+    box tensor with a minor dim of 4 wastes 97% of each TPU vector register
+    (measured 3x the backbone's runtime in round 1).  DFL decode runs on all
+    anchors (it fuses into the head-output reduction) but only 4-wide
+    distance rows are gathered.
+
+    Returns (boxes (B, K, 4) xyxy input-pixel space, scores (B, K),
+    class_ids (B, K)).
+    """
+    probs = jax.nn.sigmoid(head_out["cls"].astype(jnp.float32))
+    scores = probs.max(axis=-1)
+    class_ids = probs.argmax(axis=-1).astype(jnp.int32)
+    k = min(k, scores.shape[-1])
+    top_scores, idx = jax.lax.top_k(scores, k)
+    dist = dfl_decode(head_out["reg"], reg_max)
+    dist_top = jnp.take_along_axis(dist, idx[..., None], axis=1)
+    boxes = decode_boxes(
+        dist_top, anchor_points[idx], strides[idx], xywh=False
+    )
+    cls_top = jnp.take_along_axis(class_ids, idx, axis=1)
+    return boxes, top_scores, cls_top

@@ -35,7 +35,7 @@ from litepi_tpu.core.types import PipelineConfig
 from litepi_tpu.models import YoloLitePi, build_classifier
 from litepi_tpu.ops.anchors import make_anchors
 from litepi_tpu.ops.boxes import box_area, clip_boxes
-from litepi_tpu.ops.dfl import decode_boxes, dfl_decode
+from litepi_tpu.ops.dfl import decode_candidates
 from litepi_tpu.ops.letterbox import letterbox_device, letterbox_params
 from litepi_tpu.ops.nms import nms_sorted
 from litepi_tpu.ops.roi import crop_and_resize
@@ -57,11 +57,16 @@ class TwoStagePipeline:
         cls_vars: Any,
         dtype: jnp.dtype = jnp.float32,
         det_model: Any = None,
+        candidate_decoder: Any = None,
     ) -> None:
         self.cfg = cfg
         # any detector with the {reg, cls} output contract plugs in
-        # (YoloLitePi family, YoloV11, ...)
+        # (YoloLitePi family, YoloV11, ...); models with a different head
+        # (e.g. anchor-based YoloV5) supply ``candidate_decoder(out, k) ->
+        # (boxes, scores, class_ids)`` returning top-k score-descending
+        # candidates in input-pixel space
         self.det_model = det_model or YoloLitePi(cfg.detector, dtype=dtype)
+        self._candidate_decoder = candidate_decoder
         self.cls_model = build_classifier(
             cfg.classifier_arch, cfg.num_classifier_classes, dtype=dtype
         )
@@ -97,23 +102,12 @@ class TwoStagePipeline:
         runtime.  All box decode happens on the K candidates only.
         """
         out = self.det_model.apply(det_vars, canvas01, train=False)
-        probs = jax.nn.sigmoid(out["cls"].astype(jnp.float32))
-        scores = probs.max(axis=-1)
-        class_ids = probs.argmax(axis=-1).astype(jnp.int32)
-
-        budget = max_candidates or self.cfg.nms.max_candidates
-        k = min(budget, scores.shape[-1])
-        top_scores, idx = jax.lax.top_k(scores, k)
-        # DFL-decode ALL anchors (fuses into the head-output reduction), then
-        # gather only 4-wide distance rows — measured faster than gathering
-        # the 64-wide raw logits first
-        dist = dfl_decode(out["reg"], self.cfg.detector.reg_max)
-        dist_top = jnp.take_along_axis(dist, idx[..., None], axis=1)
-        boxes = decode_boxes(
-            dist_top, self._anchors[idx], self._strides[idx], xywh=False
+        k = max_candidates or self.cfg.nms.max_candidates
+        if self._candidate_decoder is not None:
+            return self._candidate_decoder(out, k)
+        return decode_candidates(
+            out, self._anchors, self._strides, self.cfg.detector.reg_max, k
         )
-        cls_top = jnp.take_along_axis(class_ids, idx, axis=1)
-        return boxes, top_scores, cls_top
 
     def detect(
         self,

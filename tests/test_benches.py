@@ -10,7 +10,11 @@ from litepi_tpu.bench.classifier_bench import (
     model_size_mb,
     predict_topk,
 )
-from litepi_tpu.bench.detector_bench import benchmark_detector
+from litepi_tpu.bench.detector_bench import (
+    benchmark_detector,
+    evaluate_detector,
+    make_harness,
+)
 
 
 def test_detector_bench_row_schema():
@@ -24,6 +28,63 @@ def test_detector_bench_row_schema():
     assert row["total_ms"] == pytest.approx(
         row["pre_ms"] + row["infer_ms"] + row["post_ms"], abs=0.01
     )
+
+
+@pytest.mark.parametrize(
+    "variant,size", [("yolov5n", 128), ("yolov11n", 128), ("faster_rcnn", 128)]
+)
+def test_detector_bench_other_families(variant, size):
+    """The v5 anchor-based and two-stage baselines run through the same
+    fair-benchmark protocol (reference: detect_eval_results_fps_rcnn_ssd.csv
+    rows + v5 row of detect_eval_results_fps_v5_8_11_custom.csv)."""
+    row = benchmark_detector(
+        variant, batch=1, warmup=0, iters=1, input_size=size, dtype="float32"
+    )
+    assert row["model"] == variant and row["fps"] > 0
+
+
+def test_detector_bench_ssd300():
+    row = benchmark_detector(
+        "ssd300", batch=1, warmup=0, iters=1, dtype="float32"
+    )
+    assert row["model"] == "ssd300" and row["fps"] > 0
+
+
+def test_evaluate_detector_on_labelled_folder(tmp_path):
+    """RCNN/SSD-style mAP harness: any variant's decode wired through the
+    reference-exact evaluator on a YOLO-format folder."""
+    import cv2
+
+    img_dir = tmp_path / "images"
+    lbl_dir = tmp_path / "labels"
+    img_dir.mkdir()
+    lbl_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        img = rng.integers(0, 255, (96, 128, 3), np.uint8)
+        cv2.imwrite(str(img_dir / f"i{i}.jpg"), img)
+        (lbl_dir / f"i{i}.txt").write_text("0 0.5 0.5 0.25 0.25\n")
+
+    rep = evaluate_detector(
+        "yolo_plus_v1", str(img_dir), str(lbl_dir), input_size=128,
+        max_images=3,
+    )
+    assert rep["num_images"] == 3
+    assert 0.0 <= rep["mAP50"] <= 1.0
+    for k in ("mAP50_95", "precision", "recall"):
+        assert k in rep
+
+
+def test_harness_unmap_geometries():
+    h_lb = make_harness("yolo_plus_v1", input_size=128, dtype="float32")
+    h_rs = make_harness("faster_rcnn", input_size=128, dtype="float32")
+    box = np.array([[10.0, 20.0, 50.0, 60.0]])
+    # letterbox of a 256x128 original into 128: r=0.5, dw=0, dh=32
+    out = h_lb.unmap_boxes(box.copy(), 256, 128)
+    np.testing.assert_allclose(out[0], [20.0, 0.0, 100.0, 56.0], atol=0.51)
+    # plain resize of a 256x512 original: sx=2, sy=4
+    out = h_rs.unmap_boxes(box.copy(), 256, 512)
+    np.testing.assert_allclose(out[0], [20.0, 80.0, 100.0, 240.0], atol=1e-5)
 
 
 def test_macro_prf1_perfect():

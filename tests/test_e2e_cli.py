@@ -87,6 +87,29 @@ def test_cli_end_to_end(synth_dataset, tmp_path):
     assert rows[2][0] == "yolo_plus_v2+resnet18"
 
 
+def test_cli_yolov5n_variant(synth_dataset, tmp_path):
+    """The anchor-based v5n baseline runs end-to-end through the same CLI
+    (reference README.md:39 v5 row)."""
+    from litepi_tpu.apps.e2e import main
+
+    img_dir, lbl_dir = synth_dataset
+    out = tmp_path / "out_v5"
+    rc = main(
+        [
+            "--input", str(img_dir), "--labels", str(lbl_dir),
+            "--num_classes", "3", "--det_input_size", "160",
+            "--batch_size", "2", "--max_det", "8", "--max_candidates", "64",
+            "--num_samples", "2", "--output", str(out), "--device", "cpu",
+            "--detector_variant", "yolov5n",
+        ]
+    )
+    assert rc == 0
+    import csv
+
+    rows = list(csv.reader(open(out / "comparison_summary.csv")))
+    assert rows[1][0] == "yolov5n+shufflenetv2"
+
+
 def test_cli_rejects_ncnn_artifacts(synth_dataset, tmp_path, capsys):
     from litepi_tpu.apps.e2e import main
 
