@@ -3,12 +3,23 @@
 Re-creates the reference's model-export capability in the direction this
 framework needs: where the reference converts torch -> ONNX -> NCNN/OpenVINO
 (reference: src/*/convert-model-classify.ipynb cells 3-12,
-convert_model_detect.ipynb), here torch ``.pth`` classifier state dicts (and
-any orbax pytree) convert into orbax checkpoints the pipeline loads directly.
+convert_model_detect.ipynb), here the reference's real artifacts convert
+into orbax checkpoints the pipeline loads directly:
+
+* torch ``.pth`` state dicts (classifiers and detectors),
+* Ultralytics ``.pt`` training containers (``best.pt``/``last.pt`` — the
+  pickle-with-``model``-attr layout, unwrapped without ultralytics
+  installed),
+* ``.onnx`` exports (fused or unfused initializers, read without the onnx
+  package).
 
     python -m litepi_tpu.apps.convert \
         --arch shufflenetv2 --num_classes 91 \
         --input weights/shufflenetv2.pth --output ckpt/shufflenetv2
+
+    python -m litepi_tpu.apps.convert \
+        --arch yolo_plus_v2 --num_classes 1 \
+        --input runs/train/best.pt --output ckpt/yolo_plus_v2
 
 A smoke test runs after conversion (the reference ships pnnx-generated
 ``test_inference`` smoke scripts with every export — model_ncnn.py:5-26):
@@ -21,50 +32,114 @@ from __future__ import annotations
 import argparse
 import sys
 
+CLASSIFIER_ARCHS = ("shufflenetv2", "resnet18", "mobilenetv2", "efficientnet")
+DETECTOR_ARCHS = ("yolo_plus_v2", "yolo_plus_v1", "yolov8n")
+
 
 def main(argv=None) -> int:
-    p = argparse.ArgumentParser(description="Convert torch weights -> orbax")
+    p = argparse.ArgumentParser(
+        description="Convert torch/.pt/.onnx weights -> orbax"
+    )
     p.add_argument(
         "--arch", required=True,
-        choices=["shufflenetv2", "resnet18", "mobilenetv2", "efficientnet"],
+        choices=list(CLASSIFIER_ARCHS) + list(DETECTOR_ARCHS),
     )
     p.add_argument("--num_classes", type=int, required=True)
-    p.add_argument("--input", required=True, help="torch .pth state dict")
+    p.add_argument(
+        "--input", required=True,
+        help=".pth state dict, ultralytics .pt container, or .onnx export",
+    )
     p.add_argument("--output", required=True, help="orbax checkpoint dir")
     p.add_argument("--input_size", type=int, default=64)
     args = p.parse_args(argv)
 
     import numpy as np
 
-    from litepi_tpu.models import build_classifier
     from litepi_tpu.weights.checkpoint import save_checkpoint
-    from litepi_tpu.weights.torch_import import (
-        convert_classifier_state_dict,
-        load_torch_state_dict,
-    )
 
-    sd = load_torch_state_dict(args.input)
-    variables = convert_classifier_state_dict(args.arch, sd)
+    is_detector = args.arch in DETECTOR_ARCHS
 
-    # export smoke test: seeded input -> finite logits of the right shape
-    model = build_classifier(args.arch, args.num_classes)
-    rng = np.random.default_rng(0)
-    x = rng.uniform(0, 1, (1, args.input_size, args.input_size, 3)).astype(
-        np.float32
-    )
-    out = np.asarray(model.apply(variables, x, train=False))
-    if out.shape != (1, args.num_classes) or not np.isfinite(out).all():
-        print(
-            f"error: converted model failed the smoke test "
-            f"(shape {out.shape}, finite={np.isfinite(out).all()})",
-            file=sys.stderr,
+    # ---- read + convert ------------------------------------------------ #
+    if args.input.endswith(".onnx"):
+        if not is_detector:
+            print(
+                "error: .onnx ingestion currently covers the detector archs",
+                file=sys.stderr,
+            )
+            return 2
+        from litepi_tpu.weights.onnx_import import convert_detector_onnx
+
+        from litepi_tpu.core.types import YOLO_PLUS_V1, YOLO_PLUS_V2, YOLOV8N
+
+        cfg = {
+            "yolo_plus_v2": YOLO_PLUS_V2,
+            "yolo_plus_v1": YOLO_PLUS_V1,
+            "yolov8n": YOLOV8N,
+        }[args.arch]
+        variables = convert_detector_onnx(args.input, cfg.depths)
+    else:
+        from litepi_tpu.weights.torch_import import (
+            convert_classifier_state_dict,
+            convert_detector_state_dict,
+            load_torch_state_dict,
         )
+
+        sd = load_torch_state_dict(args.input)
+        if is_detector:
+            from litepi_tpu.core.types import (
+                YOLO_PLUS_V1,
+                YOLO_PLUS_V2,
+                YOLOV8N,
+            )
+
+            cfg = {
+                "yolo_plus_v2": YOLO_PLUS_V2,
+                "yolo_plus_v1": YOLO_PLUS_V1,
+                "yolov8n": YOLOV8N,
+            }[args.arch]
+            variables = convert_detector_state_dict(sd, cfg.depths)
+        else:
+            variables = convert_classifier_state_dict(args.arch, sd)
+
+    # ---- export smoke test --------------------------------------------- #
+    rng = np.random.default_rng(0)
+    if is_detector:
+        import dataclasses
+
+        from litepi_tpu.models import YoloLitePi
+
+        size = max(args.input_size, 64)  # detector stride 32 floor
+        model = YoloLitePi(
+            dataclasses.replace(cfg, num_classes=args.num_classes)
+        )
+        x = rng.uniform(0, 1, (1, size, size, 3)).astype(np.float32)
+        out = model.apply(variables, x, train=False)
+        n_anchors = sum((size // s) ** 2 for s in cfg.strides)
+        ok = (
+            out["cls"].shape == (1, n_anchors, args.num_classes)
+            and np.isfinite(np.asarray(out["cls"])).all()
+            and np.isfinite(np.asarray(out["reg"])).all()
+        )
+        sample = np.asarray(out["cls"])[0, :3, 0]
+    else:
+        from litepi_tpu.models import build_classifier
+
+        model = build_classifier(args.arch, args.num_classes)
+        x = rng.uniform(0, 1, (1, args.input_size, args.input_size, 3)).astype(
+            np.float32
+        )
+        logits = np.asarray(model.apply(variables, x, train=False))
+        ok = logits.shape == (1, args.num_classes) and np.isfinite(logits).all()
+        sample = logits[0, :3]
+
+    if not ok:
+        print("error: converted model failed the smoke test", file=sys.stderr)
         return 1
 
     save_checkpoint(args.output, variables)
     print(
         f"converted {args.input} ({args.arch}, {args.num_classes} classes) "
-        f"-> {args.output}; smoke logits[0,:3]={out[0, :3].round(4).tolist()}"
+        f"-> {args.output}; smoke sample={np.round(sample, 4).tolist()}"
     )
     return 0
 

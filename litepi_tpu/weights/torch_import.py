@@ -25,12 +25,108 @@ Tree = Dict[str, Any]
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Load a ``.pth`` file into plain numpy arrays (CPU)."""
+    """Load a ``.pth`` file into plain numpy arrays (CPU).
+
+    Falls back to the lenient Ultralytics-container loader when the file is
+    not a plain state dict (``weights_only`` unpicklable, or a training
+    container with a ``model`` attribute)."""
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=True)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        return load_ultralytics_container(path)
     state = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
-    return {k: v.detach().numpy() for k, v in state.items() if hasattr(v, "numpy")}
+    out = {
+        k: v.detach().numpy() for k, v in state.items() if hasattr(v, "numpy")
+    }
+    if not out:
+        return load_ultralytics_container(path)
+    return out
+
+
+class _StubModule:
+    """Stand-in for unimportable classes (e.g. ultralytics.nn.tasks.*) during
+    lenient unpickling.  Pickled ``nn.Module`` objects restore through
+    ``__setstate__``/``__dict__`` updates, which this accepts verbatim."""
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+        elif isinstance(state, tuple):  # (state, slots) protocol
+            for part in state:
+                if isinstance(part, dict):
+                    self.__dict__.update(part)
+
+
+def _collect_module_tensors(obj, prefix: str = "") -> Dict[str, np.ndarray]:
+    """Walk an (possibly stubbed) ``nn.Module`` object graph, collecting
+    parameters and buffers into a dotted-name state dict — exactly what
+    ``Module.state_dict()`` would have produced."""
+    out: Dict[str, np.ndarray] = {}
+    d = getattr(obj, "__dict__", None)
+    if not isinstance(d, dict):
+        return out
+    for store in ("_parameters", "_buffers"):
+        for name, t in (d.get(store) or {}).items():
+            if t is not None and hasattr(t, "detach"):
+                out[prefix + name] = (
+                    t.detach().to("cpu").float().numpy()
+                )
+    for name, child in (d.get("_modules") or {}).items():
+        if child is not None:
+            out.update(_collect_module_tensors(child, f"{prefix}{name}."))
+    return out
+
+
+def load_ultralytics_container(path: str) -> Dict[str, np.ndarray]:
+    """Unwrap an Ultralytics training checkpoint (``best.pt``/``last.pt``)
+    into a numpy state dict WITHOUT the ultralytics package installed.
+
+    The container is a torch pickle ``{'model': DetectionModel, 'ema': ...,
+    'epoch': ...}`` (the artifact the reference's training notebooks emit and
+    its converters consume — src/tt100k/convert/model/*/).  Unpickling the
+    ``DetectionModel`` normally requires ultralytics classes; here a lenient
+    unpickler substitutes inert stubs for any unimportable class, then the
+    module graph is walked for its parameters/buffers (fp16 weights are
+    upcast to float32).  Prefers the EMA weights when present, as
+    Ultralytics' own loader does.
+    """
+    import pickle
+    import types
+
+    import torch
+
+    class _LenientUnpickler(pickle.Unpickler):
+        def find_class(self, module, name):  # noqa: D102
+            try:
+                return super().find_class(module, name)
+            except (ImportError, AttributeError):
+                return type(name, (_StubModule,), {"__module__": module})
+
+    pickle_module = types.SimpleNamespace(
+        Unpickler=_LenientUnpickler, load=None, __name__="lenient_pickle"
+    )
+    obj = torch.load(
+        path, map_location="cpu", pickle_module=pickle_module,
+        weights_only=False,
+    )
+
+    model = obj
+    if isinstance(obj, dict):
+        model = obj.get("ema") or obj.get("model") or obj
+    if isinstance(model, dict):  # already a state dict
+        return {
+            k: v.detach().float().numpy()
+            for k, v in model.items()
+            if hasattr(v, "detach")
+        }
+    sd = _collect_module_tensors(model)
+    if not sd:
+        raise ValueError(
+            f"{path}: found no tensors — not a state dict or module container"
+        )
+    return sd
 
 
 def _conv(w: np.ndarray) -> np.ndarray:
