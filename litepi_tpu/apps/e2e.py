@@ -30,8 +30,20 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--detector_bin", default=None, help=argparse.SUPPRESS)
     p.add_argument(
         "--detector_variant",
-        default="yolo_plus_v2",
+        default=None,  # resolved from --dataset preset when omitted
         choices=["yolo_plus_v2", "yolo_plus_v1", "yolov8n", "yolov11n", "yolov5n"],
+    )
+    # dataset preset: class count, shipped detector, classifier crop stats
+    # (tt100k: 91 cls / v2 / 0.18/0.34; vntsr: 49 cls / v1 / per-channel
+    # stats from dataset_stats.npz)
+    p.add_argument("--dataset", default="tt100k", choices=["tt100k", "vntsr"])
+    p.add_argument(
+        "--cls_mean", type=float, nargs="+", default=None,
+        help="classifier crop normalisation mean (1 or 3 floats)",
+    )
+    p.add_argument(
+        "--cls_std", type=float, nargs="+", default=None,
+        help="classifier crop normalisation std (1 or 3 floats)",
     )
     p.add_argument("--classifier", default=None, help="orbax dir or torch .pth")
     p.add_argument(
@@ -39,7 +51,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
         default="shufflenetv2",
         choices=["resnet18", "efficientnet", "mobilenetv2", "shufflenetv2"],
     )
-    p.add_argument("--num_classes", type=int, default=91)
+    p.add_argument("--num_classes", type=int, default=None)
     # data
     p.add_argument("--input", required=True, help="image directory")
     p.add_argument("--labels", required=True, help="YOLO label directory")
@@ -103,6 +115,7 @@ def main(argv=None) -> int:
     import numpy as np
 
     from litepi_tpu.core.types import (
+        DATASET_PRESETS,
         DetectorConfig,
         NMSConfig,
         PipelineConfig,
@@ -110,6 +123,26 @@ def main(argv=None) -> int:
         YOLO_PLUS_V2,
         YOLOV8N,
     )
+
+    # resolve dataset preset; explicit flags always win
+    preset = DATASET_PRESETS[args.dataset]
+    if args.num_classes is None:
+        args.num_classes = preset["num_classes"]
+    if args.detector_variant is None:
+        args.detector_variant = preset["detector_variant"]
+
+    def _stats(vals, key):
+        if vals is None:
+            return preset[key]
+        if len(vals) == 1:
+            return (vals[0],) * 3
+        if len(vals) == 3:
+            return tuple(vals)
+        print(f"error: --{key} takes 1 or 3 floats", file=sys.stderr)
+        raise SystemExit(2)
+
+    cls_mean = _stats(args.cls_mean, "cls_mean")
+    cls_std = _stats(args.cls_std, "cls_std")
     from litepi_tpu.evals.labels import load_class_names, sample_images
     from litepi_tpu.models import YoloLitePi, build_classifier
     from litepi_tpu.pipeline.evaluator import PipelineEvaluator, write_results
@@ -152,6 +185,8 @@ def main(argv=None) -> int:
         batch_size=args.batch_size,
         yolo_conf=args.yolo_conf,
         benchmark_conf=args.benchmark_conf,
+        cls_mean=cls_mean,
+        cls_std=cls_std,
     )
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 

@@ -93,6 +93,27 @@ YOLO_PLUS_V1 = DetectorConfig(
 # Stock YOLOv8n widths for baseline-parity runs (reference README.md:40).
 YOLOV8N = DetectorConfig(name="yolov8n", base_channels=(64, 128, 256, 512, 1024))
 
+# Dataset presets: classifier crop-normalisation stats + class counts +
+# the detector each tree ships (reference: tt100k uses scalar 0.18/0.34 and
+# yolo_plus_v2 with 91 crop classes, e2e.py:369/1019; vntsr uses per-channel
+# stats from dataset_stats.npz and yolo_plus_v1 with 49 classes —
+# train-model-tsr-vntsr.ipynb cell 4 output: mean [0.4281, 0.3768, 0.4426],
+# std [0.1980, 0.1813, 0.1937]).
+DATASET_PRESETS = {
+    "tt100k": {
+        "num_classes": 91,
+        "detector_variant": "yolo_plus_v2",
+        "cls_mean": (0.18, 0.18, 0.18),
+        "cls_std": (0.34, 0.34, 0.34),
+    },
+    "vntsr": {
+        "num_classes": 49,
+        "detector_variant": "yolo_plus_v1",
+        "cls_mean": (0.4280886, 0.37681347, 0.442565),
+        "cls_std": (0.1980449, 0.18132778, 0.19366477),
+    },
+}
+
 
 def ablation_configs(
     width_scales=(0.5, 0.75, 1.0),

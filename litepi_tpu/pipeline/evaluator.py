@@ -517,6 +517,26 @@ def write_results(
         for p in image_paths:
             f.write(os.path.basename(p) + "\n")
 
+    # host counters + stage decomposition, consumed by the reporting CLI's
+    # resource-utilisation and latency-breakdown figures (ref viz.py:99-283)
+    with open(
+        os.path.join(combo_dir, f"{combo_name}_usage.csv"), "w", newline=""
+    ) as f:
+        w = csv.writer(f)
+        keys = ["cpu_percent", "memory_mb", "temperature_c"]
+        w.writerow(keys)
+        w.writerow([metrics.get(k, "") for k in keys])
+    stage = metrics.get("stage_ms_per_batch") or {}
+    if stage:
+        with open(
+            os.path.join(combo_dir, f"{combo_name}_stages.csv"),
+            "w",
+            newline="",
+        ) as f:
+            w = csv.writer(f)
+            w.writerow(list(stage))
+            w.writerow([f"{v:.4f}" for v in stage.values()])
+
     _plot_metrics(combo_dir, combo_name, metrics, class_names)
 
 

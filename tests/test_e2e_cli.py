@@ -86,6 +86,42 @@ def test_cli_end_to_end(synth_dataset, tmp_path):
     assert len(rows) == 3
     assert rows[2][0] == "yolo_plus_v2+resnet18"
 
+    # host-counter + stage side CSVs for the reporting CLI
+    usage = combo / "yolo_plus_v2+shufflenetv2_usage.csv"
+    assert usage.exists()
+    assert "cpu_percent" in usage.read_text()
+
+    # report CLI over the eval output: all figures incl resource utilisation
+    from litepi_tpu.apps.report import main as report_main
+
+    figs = tmp_path / "figs"
+    rc = report_main(["--input", str(out), "--output", str(figs)])
+    assert rc == 0
+    assert (figs / "resource_utilization.png").exists()
+    assert (figs / "latency_breakdown.png").exists()
+    assert (figs / "summary_report.txt").exists()
+
+
+def test_cli_vntsr_preset(synth_dataset, tmp_path):
+    """--dataset vntsr resolves the VN-Signs tree's shipped configuration:
+    yolo_plus_v1 detector, 49 crop classes, per-channel crop stats
+    (train-model-tsr-vntsr.ipynb cell 4)."""
+    from litepi_tpu.apps.e2e import main
+
+    img_dir, lbl_dir = synth_dataset
+    out = tmp_path / "out_vn"
+    rc = main(
+        [
+            "--input", str(img_dir), "--labels", str(lbl_dir),
+            "--dataset", "vntsr", "--det_input_size", "160",
+            "--batch_size", "2", "--max_det", "8", "--max_candidates", "64",
+            "--num_samples", "2", "--output", str(out), "--device", "cpu",
+        ]
+    )
+    assert rc == 0
+    rows = list(csv.reader(open(out / "comparison_summary.csv")))
+    assert rows[1][0] == "yolo_plus_v1+shufflenetv2"
+
 
 def test_cli_yolov5n_variant(synth_dataset, tmp_path):
     """The anchor-based v5n baseline runs end-to-end through the same CLI
