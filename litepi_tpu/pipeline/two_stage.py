@@ -67,6 +67,15 @@ class TwoStagePipeline:
         # candidates in input-pixel space
         self.det_model = det_model or YoloLitePi(cfg.detector, dtype=dtype)
         self._candidate_decoder = candidate_decoder
+        # Pin params to the default (accelerator) device NOW.  fast_init
+        # leaves them COMMITTED to the host CPU device; passed as jit
+        # arguments they would otherwise re-upload ~13 MB on EVERY dispatch —
+        # measured 3x the whole fused step through the TPU relay (round 2).
+        # (A bare device_put is a no-op for committed arrays — the target
+        # must be explicit.)
+        target = jax.devices()[0]
+        det_vars = jax.device_put(det_vars, target)
+        cls_vars = jax.device_put(cls_vars, target)
         self.cls_model = build_classifier(
             cfg.classifier_arch, cfg.num_classifier_classes, dtype=dtype
         )
