@@ -106,24 +106,31 @@ def letterbox_device(
 ) -> jnp.ndarray:
     """In-graph letterbox for a batch of same-resolution frames.
 
-    ``images``: (B, H, W, 3) uint8.  Returns (B, new, new, 3) float32 in
-    [0, 255] (normalisation happens in the model's preprocessing so the two
-    stay fused).  Geometry matches :func:`letterbox_params` exactly; resize is
-    non-antialiased bilinear, matching cv2.INTER_LINEAR.  ``compute_dtype``
-    bfloat16 halves the resize cost (pixels are 8-bit; worst-case bf16
-    rounding is below quantisation noise) — the identity-resolution path
-    skips resampling entirely either way.
+    ``images``: (B, H, W, 3) uint8.  Returns (B, new, new, 3) in
+    ``compute_dtype``, values in [0, 255] (normalisation happens in the
+    model's preprocessing so the two stay fused).  Geometry matches
+    :func:`letterbox_params` exactly; resize is non-antialiased bilinear,
+    matching cv2.INTER_LINEAR.  ``compute_dtype`` bfloat16 halves the resize
+    cost AND the canvas bandwidth (pixels are 8-bit; worst-case bf16
+    rounding is below quantisation noise); the identity-resolution path
+    skips resampling — and the canvas copy — entirely.
     """
     b, h, w = images.shape[0], images.shape[1], images.shape[2]
     r, dw, dh, (new_w, new_h), (top, bottom, left, right) = letterbox_params(
         h, w, new_shape
     )
+    if (w, h) == (new_shape, new_shape):
+        # input already at target size: no resample, no pad band — the cast
+        # is the whole op
+        return images.astype(compute_dtype)
     if (new_w, new_h) == (w, h):
-        resized = images.astype(jnp.float32)
+        resized = images.astype(compute_dtype)
     else:
         resized = _bilinear_resize_no_aa(images, new_h, new_w, compute_dtype)
     canvas = jnp.full(
-        (b, new_shape, new_shape, 3), float(PAD_VALUE), dtype=jnp.float32
+        (b, new_shape, new_shape, 3), float(PAD_VALUE), dtype=compute_dtype
     )
-    canvas = jax.lax.dynamic_update_slice(canvas, resized, (0, top, left, 0))
+    canvas = jax.lax.dynamic_update_slice(
+        canvas, resized.astype(compute_dtype), (0, top, left, 0)
+    )
     return canvas

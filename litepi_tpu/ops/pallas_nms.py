@@ -2,15 +2,21 @@
 
 The XLA-level implementation (ops/nms.py::suppress_sorted) round-trips the
 (K, K) IoU/overlap tensors through HBM on every fixpoint iteration.  This
-kernel keeps everything resident in VMEM: one program per image computes the
-pairwise IoU matrix from planar box coordinates, then iterates
+kernel keeps everything resident in VMEM: each program instance computes the
+pairwise IoU matrices for a BLOCK of images from planar box coordinates,
+then iterates
 
     keep <- valid AND NOT (keep @ over > 0)
 
 to the greedy fixpoint, where ``over[j, i]`` marks "higher-scoring j
-suppresses i".  The suppression step is a (1, K) x (K, K) matvec — it rides
-the MXU — and the whole loop runs without touching HBM.  K = max_candidates
-(pad to a multiple of 128 for lane alignment).
+suppresses i".  The suppression step is a batched (1, K) x (K, K) matvec —
+it rides the MXU — and the whole loop runs without touching HBM.
+K = max_candidates (pad to a multiple of 128 for lane alignment).
+
+TPU grid steps run *sequentially* on a core, so one-image-per-instance pays
+program overhead b times for tiny kernels; blocking ``_BLOCK_B`` images per
+instance amortises it (measured ~2x on a 128-image batch, round 2) at
+``_BLOCK_B * K^2 * 8`` bytes of VMEM (8 images x 256^2 -> 2 MB).
 
 Numerically identical to the oracle (tests run the kernel in interpreter
 mode against ops/nms.py's numpy reference).
@@ -25,45 +31,46 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_BLOCK_B = 8
+
 
 def _nms_kernel(boxes_ref, cls_ref, valid_ref, thr_ref, keep_ref):
-    """boxes_ref: (1, 4, K) planar x1,y1,x2,y2;
-    cls_ref: (1, 1, K) f32 class ids (exact for ids < 2^24);
-    valid_ref: (1, 1, K) f32 0/1 (score > conf, score-descending order);
-    thr_ref: (1, 1) f32 IoU threshold in SMEM; keep_ref: (1, 1, K) f32 out."""
-    k = boxes_ref.shape[-1]
-    x1 = boxes_ref[0, 0:1, :]  # (1, K)
-    y1 = boxes_ref[0, 1:2, :]
-    x2 = boxes_ref[0, 2:3, :]
-    y2 = boxes_ref[0, 3:4, :]
+    """boxes_ref: (BI, 4, K) planar x1,y1,x2,y2;
+    cls_ref: (BI, 1, K) f32 class ids (exact for ids < 2^24);
+    valid_ref: (BI, 1, K) f32 0/1 (score > conf, score-descending order);
+    thr_ref: (1, 1) f32 IoU threshold in SMEM; keep_ref: (BI, 1, K) f32 out."""
+    bi, _, k = boxes_ref.shape
+    x1 = boxes_ref[:, 0:1, :]  # (BI, 1, K)
+    y1 = boxes_ref[:, 1:2, :]
+    x2 = boxes_ref[:, 2:3, :]
+    y2 = boxes_ref[:, 3:4, :]
 
-    # pairwise IoU, rows j (suppressor) x cols i (suppressee)
-    x1t = jnp.transpose(x1)  # (K, 1)
-    y1t = jnp.transpose(y1)
-    x2t = jnp.transpose(x2)
-    y2t = jnp.transpose(y2)
-    lt_x = jnp.maximum(x1t, x1)
-    lt_y = jnp.maximum(y1t, y1)
-    rb_x = jnp.minimum(x2t, x2)
-    rb_y = jnp.minimum(y2t, y2)
+    # pairwise IoU per image, rows j (suppressor) x cols i (suppressee)
+    def t(a):  # (BI, 1, K) -> (BI, K, 1)
+        return jnp.swapaxes(a, 1, 2)
+
+    lt_x = jnp.maximum(t(x1), x1)  # (BI, K, K)
+    lt_y = jnp.maximum(t(y1), y1)
+    rb_x = jnp.minimum(t(x2), x2)
+    rb_y = jnp.minimum(t(y2), y2)
     inter = jnp.maximum(rb_x - lt_x, 0.0) * jnp.maximum(rb_y - lt_y, 0.0)
-    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)  # (1, K)
-    union = jnp.transpose(area) + area - inter + 1e-6
+    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)  # (BI, 1, K)
+    union = t(area) + area - inter + 1e-6
     iou = inter / union
 
     # j suppresses i only when j outranks i (j < i in score order) AND the
     # classes match — exact per-class NMS with no coordinate-offset
     # quantisation
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
-    cls = cls_ref[0]  # (1, K)
-    same_cls = jnp.transpose(cls) == cls  # (K, K)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (bi, k, k), 1)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (bi, k, k), 2)
+    cls = cls_ref[...]  # (BI, 1, K)
+    same_cls = t(cls) == cls
     thr = thr_ref[0, 0]
     over = jnp.where(
         (iou > thr) & same_cls & (row_ids < col_ids), 1.0, 0.0
     ).astype(jnp.float32)
 
-    valid = valid_ref[0]  # (1, K) f32
+    valid = valid_ref[...]  # (BI, 1, K) f32
 
     def cond(carry):
         keep, prev, it = carry
@@ -71,14 +78,20 @@ def _nms_kernel(boxes_ref, cls_ref, valid_ref, thr_ref, keep_ref):
 
     def body(carry):
         keep, _, it = carry
-        hits = jnp.dot(keep, over, preferred_element_type=jnp.float32)
+        # batched (1, K) x (K, K) matvec on the MXU
+        hits = jax.lax.dot_general(
+            keep,
+            over,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
         new = valid * jnp.where(hits > 0.0, 0.0, 1.0)
         return new, keep, it + 1
 
     keep, _, _ = jax.lax.while_loop(
         cond, body, (valid, jnp.zeros_like(valid), jnp.zeros((), jnp.int32))
     )
-    keep_ref[0] = keep
+    keep_ref[...] = keep
 
 
 @functools.partial(jax.jit, static_argnums=(4,))
@@ -91,18 +104,25 @@ def pallas_suppress(
 ) -> jnp.ndarray:
     """Greedy-NMS keep mask (B, K) bool via the Pallas kernel."""
     b, _, k = boxes_planar.shape
+    bi = min(_BLOCK_B, b)
+    pad = (-b) % bi
+    if pad:  # pad with all-invalid images so the grid divides evenly
+        widths = ((0, pad), (0, 0), (0, 0))
+        boxes_planar = jnp.pad(boxes_planar, widths)
+        cls_planar = jnp.pad(cls_planar, widths)
+        valid = jnp.pad(valid, ((0, pad), (0, 0)))
     thr = jnp.full((1, 1), iou_threshold, jnp.float32)
     out = pl.pallas_call(
         _nms_kernel,
-        grid=(b,),
+        grid=((b + pad) // bi,),
         in_specs=[
-            pl.BlockSpec((1, 4, k), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bi, 4, k), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bi, 1, k), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bi, 1, k), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, 1, k), jnp.float32),
+        out_specs=pl.BlockSpec((bi, 1, k), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b + pad, 1, k), jnp.float32),
         interpret=interpret,
     )(
         boxes_planar,
@@ -110,4 +130,4 @@ def pallas_suppress(
         valid.astype(jnp.float32)[:, None, :],
         thr,
     )
-    return out[:, 0, :] > 0.5
+    return out[:b, 0, :] > 0.5
