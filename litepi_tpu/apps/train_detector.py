@@ -43,6 +43,9 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--device", default="tpu", choices=["tpu", "cpu"])
     p.add_argument("--data_parallel", type=int, default=1)
+    # validate + checkpoint the EMA weights (the Ultralytics default); raw
+    # weights with --no_ema
+    p.add_argument("--no_ema", action="store_true")
     args = p.parse_args(argv)
 
     import jax
@@ -125,7 +128,8 @@ def main(argv=None) -> int:
             det_input_size=args.imgsz,
             batch_size=args.batch,
         )
-        det_vars = {"params": state.params, "batch_stats": state.batch_stats}
+        weights = state.params if args.no_ema else state.ema_params
+        det_vars = {"params": weights, "batch_stats": state.batch_stats}
         cls_model = build_classifier(
             pcfg.classifier_arch, pcfg.num_classifier_classes
         )
@@ -195,7 +199,9 @@ def main(argv=None) -> int:
             save_checkpoint(
                 os.path.join(args.output, "best"),
                 {
-                    "params": jax.device_get(state.params),
+                    "params": jax.device_get(
+                        state.params if args.no_ema else state.ema_params
+                    ),
                     "batch_stats": jax.device_get(state.batch_stats),
                 },
             )
@@ -206,7 +212,9 @@ def main(argv=None) -> int:
     save_checkpoint(
         os.path.join(args.output, "last"),
         {
-            "params": jax.device_get(state.params),
+            "params": jax.device_get(
+                state.params if args.no_ema else state.ema_params
+            ),
             "batch_stats": jax.device_get(state.batch_stats),
         },
     )

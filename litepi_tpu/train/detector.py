@@ -29,9 +29,16 @@ class DetectorTrainState:
     batch_stats: Any
     opt_state: Any
     step: jnp.ndarray
+    ema_params: Any = None
 
     def tree_flatten(self):  # pragma: no cover - registered below
-        return (self.params, self.batch_stats, self.opt_state, self.step), None
+        return (
+            self.params,
+            self.batch_stats,
+            self.opt_state,
+            self.step,
+            self.ema_params,
+        ), None
 
     @classmethod
     def tree_unflatten(cls, _, children):  # pragma: no cover
@@ -73,8 +80,24 @@ def create_detector_train_state(
         batch_stats=variables["batch_stats"],
         opt_state=tx.init(variables["params"]),
         step=jnp.zeros((), jnp.int32),
+        ema_params=variables["params"],
     )
     return model, state, tx
+
+
+# Ultralytics ModelEMA recipe: decay ramps from 0 with time constant
+# tau=2000 updates towards 0.9999, so early training moves the EMA quickly
+# and late training averages over ~10k steps.  BN batch-stats are already an
+# exponential average (momentum 0.97), so only params are EMA'd here.
+EMA_DECAY = 0.9999
+EMA_TAU = 2000.0
+
+
+def ema_update(ema: Any, params: Any, step: jnp.ndarray) -> Any:
+    d = EMA_DECAY * (1.0 - jnp.exp(-step.astype(jnp.float32) / EMA_TAU))
+    return jax.tree.map(
+        lambda e, p: e * d + (1.0 - d) * p.astype(e.dtype), ema, params
+    )
 
 
 def detector_train_step(
@@ -118,11 +141,15 @@ def detector_train_step(
     )
     updates, new_opt = tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
+    new_step = state.step + 1
     new_state = DetectorTrainState(
         params=new_params,
         batch_stats=new_stats,
         opt_state=new_opt,
-        step=state.step + 1,
+        step=new_step,
+        ema_params=ema_update(state.ema_params, new_params, new_step)
+        if state.ema_params is not None
+        else None,
     )
     metrics = {"loss": loss, **aux}
     return new_state, metrics

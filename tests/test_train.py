@@ -179,3 +179,31 @@ def test_detector_train_step_sharded_over_mesh():
     # params remain replicated after the step (grad psum happened inside)
     leaf = jax.tree.leaves(new_state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_detector_ema_follows_ultralytics_recipe():
+    """EMA params follow e' = d*e + (1-d)*p with d = 0.9999*(1-exp(-t/2000)),
+    replayed exactly from the recorded per-step params."""
+    model, state, tx = create_detector_train_state(TINY, dtype=jnp.float32)
+    batch = _tiny_batch(np.random.default_rng(2))
+    step = jax.jit(functools.partial(detector_train_step, model, tx))
+
+    expected = jax.tree.map(np.asarray, state.ema_params)
+    for t in range(1, 4):
+        state, _ = step(state, batch)
+        d = 0.9999 * (1.0 - np.exp(-t / 2000.0))
+        expected = jax.tree.map(
+            lambda e, p: e * d + (1.0 - d) * np.asarray(p),
+            expected, state.params,
+        )
+    got = jax.tree.map(np.asarray, state.ema_params)
+    err = jax.tree.map(
+        lambda a, b: float(np.abs(a - b).max()), got, expected
+    )
+    assert max(jax.tree.leaves(err)) < 1e-5
+    # early in training the EMA hugs the (fast-moving) live params: decay ~0
+    diff = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        state.ema_params, state.params,
+    )
+    assert max(jax.tree.leaves(diff)) < 1e-2
