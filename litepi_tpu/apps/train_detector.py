@@ -94,8 +94,14 @@ def main(argv=None) -> int:
     steps = args.steps_per_epoch or max(len(dataset) // args.batch, 1)
     print(f"dataset: {len(dataset)} images, {steps} steps/epoch")
 
+    # Ultralytics one-cycle lr: 3-epoch linear warmup, cosine to lr*0.01
     model, state, tx = create_detector_train_state(
-        cfg, seed=args.seed, lr=args.lr, dtype=jnp.bfloat16
+        cfg,
+        seed=args.seed,
+        lr=args.lr,
+        dtype=jnp.bfloat16,
+        total_steps=args.epochs * steps,
+        warmup_steps=min(3, args.epochs) * steps,
     )
     step_fn = jax.jit(functools.partial(detector_train_step, model, tx))
 
@@ -177,7 +183,8 @@ def main(argv=None) -> int:
         return m["mAP50"]
 
     # -------------------- train loop ---------------------------------- #
-    best_map, best_epoch = -1.0, -1
+    # -inf, not -1: the no-val score is -mean_loss, which starts far below -1
+    best_map, best_epoch = float("-inf"), -1
     os.makedirs(args.output, exist_ok=True)
     for epoch in range(args.epochs):
         t0 = time.perf_counter()

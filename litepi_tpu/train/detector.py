@@ -52,15 +52,49 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def make_lr_schedule(
+    lr: float,
+    total_steps: int,
+    warmup_steps: int = 0,
+    final_lr_fraction: float = 0.01,
+):
+    """Ultralytics one-cycle shape: linear warmup from lr/10, cosine decay
+    to ``lr * final_lr_fraction``."""
+    return optax.warmup_cosine_decay_schedule(
+        init_value=lr / 10.0,
+        peak_value=lr,
+        warmup_steps=max(warmup_steps, 1),
+        decay_steps=max(total_steps, warmup_steps + 1),
+        end_value=lr * final_lr_fraction,
+    )
+
+
 def make_optimizer(
-    lr: float = 1e-2, weight_decay: float = 5e-4, momentum: float = 0.937
+    lr: float = 1e-2,
+    weight_decay: float = 5e-4,
+    momentum: float = 0.937,
+    total_steps: int = 0,
+    warmup_steps: int = 0,
+    final_lr_fraction: float = 0.01,
 ) -> optax.GradientTransformation:
     """SGD + nesterov momentum + weight decay — the Ultralytics default
-    recipe family the reference trained with (30 epochs, batch 16)."""
+    recipe family the reference trained with (30 epochs, batch 16).
+
+    With ``total_steps`` > 0 the learning rate follows the Ultralytics
+    one-cycle shape: linear warmup from lr/10 over ``warmup_steps``
+    (warmup_epochs=3 default upstream), then cosine decay to
+    ``lr * final_lr_fraction`` (lrf=0.01).  ``total_steps=0`` keeps a
+    constant lr (the round-1 behaviour, used by short smoke runs).
+    """
+    schedule = (
+        make_lr_schedule(lr, total_steps, warmup_steps, final_lr_fraction)
+        if total_steps > 0
+        else lr
+    )
     return optax.chain(
         optax.clip_by_global_norm(10.0),
         optax.add_decayed_weights(weight_decay),
-        optax.sgd(lr, momentum=momentum, nesterov=True),
+        optax.sgd(schedule, momentum=momentum, nesterov=True),
     )
 
 
@@ -69,12 +103,14 @@ def create_detector_train_state(
     seed: int = 0,
     lr: float = 1e-2,
     dtype: jnp.dtype = jnp.bfloat16,
+    total_steps: int = 0,
+    warmup_steps: int = 0,
 ) -> Tuple[YoloLitePi, DetectorTrainState, optax.GradientTransformation]:
     from litepi_tpu.models.init_utils import fast_init
 
     model = YoloLitePi(cfg, dtype=dtype)
     variables = fast_init(model, seed=seed)
-    tx = make_optimizer(lr)
+    tx = make_optimizer(lr, total_steps=total_steps, warmup_steps=warmup_steps)
     state = DetectorTrainState(
         params=variables["params"],
         batch_stats=variables["batch_stats"],

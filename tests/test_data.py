@@ -195,3 +195,49 @@ def test_list_pairs_matches_stems(det_dataset):
     assert len(pairs) == 6
     for ip, lp in pairs:
         assert ip.endswith(".jpg") and lp.endswith(".txt")
+
+
+def test_dataset_audit(tmp_path):
+    """Pairing + sanity audit (reference train notebooks' pre-run checks)."""
+    import cv2
+
+    img_dir = tmp_path / "img"
+    lbl_dir = tmp_path / "lbl"
+    img_dir.mkdir()
+    lbl_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        cv2.imwrite(
+            str(img_dir / f"a{i}.jpg"),
+            rng.integers(0, 255, (32, 32, 3), np.uint8),
+        )
+    (img_dir / "bad.jpg").write_bytes(b"not a jpeg")
+    (lbl_dir / "a0.txt").write_text("0 0.5 0.5 0.2 0.2\n")
+    (lbl_dir / "a1.txt").write_text("1 0.5 0.5 0.2 0.2\nmal formed\n")
+    (lbl_dir / "a2.txt").write_text("0 1.5 0.5 0.2 0.2\n")  # cx out of range
+    (lbl_dir / "ghost.txt").write_text("0 0.5 0.5 0.1 0.1\n")  # no image
+
+    from litepi_tpu.data.audit import audit_dataset, format_report
+
+    rep = audit_dataset(str(img_dir), str(lbl_dir), num_classes=1)
+    assert not rep["ok"]
+    assert rep["num_negatives"] == 1  # bad.jpg has no label (allowed class)
+    assert len(rep["orphan_labels"]) == 1
+    assert len(rep["unreadable_images"]) == 1
+    assert len(rep["malformed_lines"]) == 1
+    assert len(rep["out_of_range_lines"]) == 1
+    assert len(rep["bad_class_lines"]) == 1  # class 1 with num_classes=1
+    assert rep["class_counts"] == {0: 2, 1: 1}
+    txt = format_report(rep)
+    assert "PROBLEMS FOUND" in txt and "ORPHAN LABELS" in txt
+
+    from litepi_tpu.apps.data_audit import main as audit_main
+
+    assert audit_main(["--images", str(img_dir), "--labels", str(lbl_dir)]) == 1
+
+    # a clean dataset passes
+    (img_dir / "bad.jpg").unlink()
+    (lbl_dir / "ghost.txt").unlink()
+    (lbl_dir / "a1.txt").write_text("0 0.5 0.5 0.2 0.2\n")
+    (lbl_dir / "a2.txt").write_text("0 0.5 0.5 0.2 0.2\n")
+    assert audit_main(["--images", str(img_dir), "--labels", str(lbl_dir)]) == 0

@@ -207,3 +207,15 @@ def test_detector_ema_follows_ultralytics_recipe():
         state.ema_params, state.params,
     )
     assert max(jax.tree.leaves(diff)) < 1e-2
+
+
+def test_one_cycle_lr_schedule_shape():
+    from litepi_tpu.train.detector import make_lr_schedule
+
+    sched = make_lr_schedule(0.01, total_steps=1000, warmup_steps=100)
+    assert float(sched(0)) == pytest.approx(0.001, rel=1e-3)   # lr/10
+    assert float(sched(100)) == pytest.approx(0.01, rel=1e-3)  # peak
+    assert float(sched(1000)) == pytest.approx(1e-4, rel=1e-2) # lr*0.01
+    # monotone decay after warmup
+    vals = [float(sched(t)) for t in range(100, 1001, 100)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
