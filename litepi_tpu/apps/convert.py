@@ -61,22 +61,25 @@ def main(argv=None) -> int:
 
     # ---- read + convert ------------------------------------------------ #
     if args.input.endswith(".onnx"):
-        if not is_detector:
-            print(
-                "error: .onnx ingestion currently covers the detector archs",
-                file=sys.stderr,
+        if is_detector:
+            from litepi_tpu.weights.onnx_import import convert_detector_onnx
+
+            from litepi_tpu.core.types import (
+                YOLO_PLUS_V1,
+                YOLO_PLUS_V2,
+                YOLOV8N,
             )
-            return 2
-        from litepi_tpu.weights.onnx_import import convert_detector_onnx
 
-        from litepi_tpu.core.types import YOLO_PLUS_V1, YOLO_PLUS_V2, YOLOV8N
+            cfg = {
+                "yolo_plus_v2": YOLO_PLUS_V2,
+                "yolo_plus_v1": YOLO_PLUS_V1,
+                "yolov8n": YOLOV8N,
+            }[args.arch]
+            variables = convert_detector_onnx(args.input, cfg.depths)
+        else:
+            from litepi_tpu.weights.onnx_import import convert_classifier_onnx
 
-        cfg = {
-            "yolo_plus_v2": YOLO_PLUS_V2,
-            "yolo_plus_v1": YOLO_PLUS_V1,
-            "yolov8n": YOLOV8N,
-        }[args.arch]
-        variables = convert_detector_onnx(args.input, cfg.depths)
+            variables = convert_classifier_onnx(args.arch, args.input)
     else:
         from litepi_tpu.weights.torch_import import (
             convert_classifier_state_dict,

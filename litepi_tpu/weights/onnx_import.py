@@ -180,3 +180,30 @@ def convert_detector_onnx(
 
     inits = src if isinstance(src, dict) else read_onnx_initializers(src)
     return convert_detector_state_dict(defuse_state_dict(inits), depths)
+
+
+def convert_classifier_onnx(
+    arch: str, src: Union[str, bytes, Dict[str, np.ndarray]]
+):
+    """ONNX classifier export -> litepi_tpu Flax variables.
+
+    The reference exports its four classifiers torch -> ONNX before the
+    NCNN/OpenVINO conversions (reference: src/*/convert-model-classify.ipynb
+    cells 3-12); ``torch.onnx.export`` preserves the torchvision state-dict
+    parameter names as graph initializers, so the existing per-arch
+    converters apply directly.  Requires a name-preserving export (the
+    default for these models — constant-folded exports that fuse BatchNorms
+    rename their initializers and cannot be mapped back by name).
+    """
+    from litepi_tpu.weights.torch_import import convert_classifier_state_dict
+
+    inits = src if isinstance(src, dict) else read_onnx_initializers(src)
+    try:
+        return convert_classifier_state_dict(arch, inits)
+    except KeyError as e:
+        raise ValueError(
+            f"ONNX graph lacks initializer {e.args[0]!r} expected for "
+            f"{arch!r}: the export was likely constant-folded (BatchNorms "
+            "fused, initializers renamed). Re-export with "
+            "do_constant_folding=False, or convert from the .pth instead."
+        ) from e

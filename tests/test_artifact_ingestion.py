@@ -243,6 +243,70 @@ def test_onnx_fused_detector_forward_parity(tmp_path):
     )
 
 
+def test_onnx_classifier_forward_parity(tmp_path):
+    """Name-preserving classifier ONNX export -> converter -> Flax forward
+    matches the torch source (reference exports its classifiers torch->ONNX
+    before engine conversion — convert-model-classify.ipynb cells 3-12)."""
+    from litepi_tpu.models import build_classifier
+    from litepi_tpu.weights.onnx_import import convert_classifier_onnx
+    from tests.torch_refs import ShuffleNetV2T
+
+    torch.manual_seed(0)
+    tm = ShuffleNetV2T(num_classes=7)
+    randomize_bn_stats(tm, seed=1)
+    tm.eval()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    path = tmp_path / "cls.onnx"
+    path.write_bytes(_onnx_bytes(sd))
+
+    variables = convert_classifier_onnx("shufflenetv2", str(path))
+    fm = build_classifier("shufflenetv2", 7)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+    got = np.asarray(fm.apply(variables, x, train=False))
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_onnx_classifier_folded_export_rejected_with_guidance():
+    """Constant-folded exports rename initializers; the converter must fail
+    loudly with re-export guidance rather than produce garbage weights."""
+    from litepi_tpu.weights.onnx_import import convert_classifier_onnx
+
+    folded = {"onnx::Conv_123": np.ones((24, 3, 3, 3), np.float32)}
+    with pytest.raises(ValueError, match="do_constant_folding"):
+        convert_classifier_onnx("shufflenetv2", folded)
+
+
+def test_convert_cli_classifier_onnx(tmp_path):
+    """The convert CLI routes classifier .onnx inputs end-to-end."""
+    from litepi_tpu.apps.convert import main
+    from litepi_tpu.models import build_classifier
+    from litepi_tpu.weights.checkpoint import load_checkpoint
+    from tests.torch_refs import ShuffleNetV2T
+
+    torch.manual_seed(0)
+    tm = ShuffleNetV2T(num_classes=7)
+    randomize_bn_stats(tm, seed=1)
+    tm.eval()
+    onnx = tmp_path / "cls.onnx"
+    onnx.write_bytes(_onnx_bytes({k: v.numpy() for k, v in tm.state_dict().items()}))
+
+    out = str(tmp_path / "ckpt_cls_onnx")
+    assert main(
+        ["--arch", "shufflenetv2", "--num_classes", "7",
+         "--input", str(onnx), "--output", out]
+    ) == 0
+    fm = build_classifier("shufflenetv2", 7)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    got = np.asarray(fm.apply(load_checkpoint(out), x, train=False))
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
 def test_defuse_leaves_unfused_alone():
     sd = {
         "x.conv.weight": np.ones((4, 3, 1, 1), np.float32),
