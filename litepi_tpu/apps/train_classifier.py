@@ -37,6 +37,16 @@ def main(argv=None) -> int:
     p.add_argument("--output", default="runs/classifier")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--device", default="tpu", choices=["tpu", "cpu"])
+    p.add_argument(
+        "--resume", action="store_true",
+        help="continue from {output}/resume (full state + epoch cursor); "
+        "pass the SAME --epochs as the original run — the lr schedule "
+        "spans the total epoch budget",
+    )
+    p.add_argument(
+        "--stop_after", type=int, default=None,
+        help="stop after N epochs THIS invocation; resume with --resume",
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -53,7 +63,11 @@ def main(argv=None) -> int:
         classifier_train_step,
         create_classifier_train_state,
     )
-    from litepi_tpu.weights.checkpoint import save_checkpoint
+    from litepi_tpu.weights.checkpoint import (
+        load_train_checkpoint,
+        save_checkpoint,
+        save_train_checkpoint,
+    )
 
     train_ds = CropClassificationDataset(
         args.data,
@@ -116,11 +130,24 @@ def main(argv=None) -> int:
                 break
         return float(np.mean(losses)), correct / max(total, 1)
 
-    best_val, best_epoch = float("inf"), -1
+    best_val, best_epoch, start_epoch = float("inf"), -1, 0
     os.makedirs(args.output, exist_ok=True)
-    key = jax.random.key(args.seed)
-    for epoch in range(args.epochs):
+    resume_dir = os.path.join(args.output, "resume")
+    if args.resume and os.path.isdir(resume_dir):
+        state, meta = load_train_checkpoint(resume_dir, state)
+        # orbax restores host-committed arrays; re-pin to the accelerator
+        state = jax.device_put(state, jax.devices()[0])
+        start_epoch = int(meta["next_epoch"])
+        best_val, best_epoch = float(meta["best_score"]), int(meta["best_epoch"])
+        print(f"resumed from {resume_dir}: epoch {start_epoch}, "
+              f"best {best_val:.4f}")
+    elif args.resume:
+        print(f"--resume: no checkpoint at {resume_dir}, starting fresh")
+    for epoch in range(start_epoch, args.epochs):
         t0 = time.perf_counter()
+        # (seed, epoch)-pure RNGs so a resumed run replays the exact stream
+        train_ds.seed_epoch(epoch)
+        key = jax.random.fold_in(jax.random.key(args.seed), epoch)
         losses, accs = [], []
         for batch in Prefetcher(train_ds.batches(args.batch, steps)):
             key, sub = jax.random.split(key)
@@ -147,8 +174,18 @@ def main(argv=None) -> int:
                     "batch_stats": jax.device_get(state.batch_stats),
                 },
             )
+        save_train_checkpoint(
+            resume_dir,
+            state,
+            {"next_epoch": epoch + 1, "best_score": best_val,
+             "best_epoch": best_epoch},
+        )
         if epoch - best_epoch >= args.patience:
             print(f"early stop: no improvement for {args.patience} epochs")
+            break
+        if args.stop_after and epoch + 1 - start_epoch >= args.stop_after:
+            print(f"stopping after {args.stop_after} epochs (resume with "
+                  f"--resume)")
             break
 
     print(f"best val loss {best_val:.4f} at epoch {best_epoch + 1}")

@@ -46,6 +46,17 @@ def main(argv=None) -> int:
     # validate + checkpoint the EMA weights (the Ultralytics default); raw
     # weights with --no_ema
     p.add_argument("--no_ema", action="store_true")
+    p.add_argument(
+        "--resume", action="store_true",
+        help="continue from {output}/resume (full state: params, EMA, "
+        "optimizer moments, epoch cursor); pass the SAME --epochs as the "
+        "original run — the lr schedule spans the total epoch budget",
+    )
+    p.add_argument(
+        "--stop_after", type=int, default=None,
+        help="stop after N epochs THIS invocation (the lr schedule still "
+        "spans --epochs); resume later with --resume",
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -71,7 +82,11 @@ def main(argv=None) -> int:
         create_detector_train_state,
         detector_train_step,
     )
-    from litepi_tpu.weights.checkpoint import save_checkpoint
+    from litepi_tpu.weights.checkpoint import (
+        load_train_checkpoint,
+        save_checkpoint,
+        save_train_checkpoint,
+    )
 
     base = {
         "yolo_plus_v2": YOLO_PLUS_V2,
@@ -184,10 +199,30 @@ def main(argv=None) -> int:
 
     # -------------------- train loop ---------------------------------- #
     # -inf, not -1: the no-val score is -mean_loss, which starts far below -1
-    best_map, best_epoch = float("-inf"), -1
+    best_map, best_epoch, start_epoch = float("-inf"), -1, 0
     os.makedirs(args.output, exist_ok=True)
-    for epoch in range(args.epochs):
+    resume_dir = os.path.join(args.output, "resume")
+    if args.resume and os.path.isdir(resume_dir):
+        state, meta = load_train_checkpoint(resume_dir, state)
+        # orbax restores host-committed arrays; re-pin to the accelerator
+        # (mixing them with device-placed batches is a jit device error)
+        if mesh is not None:
+            state = jax.device_put(state, replicated_sharding(mesh))
+        else:
+            state = jax.device_put(state, jax.devices()[0])
+        start_epoch = int(meta["next_epoch"])
+        best_map, best_epoch = float(meta["best_score"]), int(meta["best_epoch"])
+        print(
+            f"resumed from {resume_dir}: epoch {start_epoch}, "
+            f"step {int(state.step)}, best {best_map:.4f}"
+        )
+    elif args.resume:
+        print(f"--resume: no checkpoint at {resume_dir}, starting fresh")
+    for epoch in range(start_epoch, args.epochs):
         t0 = time.perf_counter()
+        # epoch-seeded cursor: a resumed run sees exactly the batches the
+        # uninterrupted run would have (dataset RNG is (seed, epoch)-pure)
+        dataset.seed_epoch(epoch)
         it = Prefetcher(dataset.batches(args.batch, steps))
         losses = []
         for batch in it:
@@ -212,8 +247,18 @@ def main(argv=None) -> int:
                     "batch_stats": jax.device_get(state.batch_stats),
                 },
             )
+        save_train_checkpoint(
+            resume_dir,
+            state,
+            {"next_epoch": epoch + 1, "best_score": best_map,
+             "best_epoch": best_epoch},
+        )
         if epoch - best_epoch >= args.patience:
             print(f"early stop: no improvement for {args.patience} epochs")
+            break
+        if args.stop_after and epoch + 1 - start_epoch >= args.stop_after:
+            print(f"stopping after {args.stop_after} epochs (resume with "
+                  f"--resume)")
             break
 
     save_checkpoint(

@@ -72,7 +72,17 @@ class DetectionDataset:
         self.mosaic_p = mosaic_p
         self.scale = scale
         self.copy_paste_p = copy_paste_p
+        self._seed = seed
         self.rng = np.random.default_rng(seed)
+
+    def seed_epoch(self, epoch: int) -> None:
+        """Reset the augmentation RNG to a pure function of (seed, epoch).
+
+        Makes each epoch's batch stream independent of how many epochs ran
+        before it — the dataset cursor for training resume: a run restored at
+        epoch k sees exactly the batches the uninterrupted run would have.
+        """
+        self.rng = np.random.default_rng([self._seed, epoch])
 
     def __len__(self) -> int:
         return len(self.pairs)
@@ -177,7 +187,13 @@ class CropClassificationDataset:
         self.std = np.asarray(std, np.float32)
         self.augment = augment
         self.mix_p = mix_p
+        self._seed = seed
         self.rng = np.random.default_rng(seed)
+
+    def seed_epoch(self, epoch: int) -> None:
+        """Reset shuffle/augment RNG to a pure function of (seed, epoch) —
+        the resume cursor (see DetectionDataset.seed_epoch)."""
+        self.rng = np.random.default_rng([self._seed, epoch])
 
     @property
     def num_classes(self) -> int:
