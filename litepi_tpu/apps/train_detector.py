@@ -106,6 +106,16 @@ def main(argv=None) -> int:
         scale=args.scale,
         seed=args.seed,
     )
+    if jax.process_count() > 1:
+        # multi-host: each process decodes a disjoint shard; --batch is the
+        # per-process size (global batch = batch * process_count)
+        from litepi_tpu.data.distributed import shard_paths
+
+        dataset.pairs = shard_paths(dataset.pairs)
+        print(
+            f"process {jax.process_index()}/{jax.process_count()}: "
+            f"{len(dataset.pairs)} local images"
+        )
     steps = args.steps_per_epoch or max(len(dataset) // args.batch, 1)
     print(f"dataset: {len(dataset)} images, {steps} steps/epoch")
 
@@ -128,6 +138,12 @@ def main(argv=None) -> int:
 
     def place(batch):
         if mesh is not None:
+            if jax.process_count() > 1:
+                # multi-host: this process's host batch is one shard of the
+                # global batch (data/distributed.py); nothing crosses DCN
+                from litepi_tpu.data.distributed import make_global_batch
+
+                return make_global_batch(mesh, batch)
             return jax.device_put(batch, batch_sharding(mesh))
         return batch
 
