@@ -200,3 +200,15 @@ class PipelineConfig:
     cls_mean: Tuple[float, float, float] = (0.18, 0.18, 0.18)
     cls_std: Tuple[float, float, float] = (0.34, 0.34, 0.34)
     compute_dtype: str = "bfloat16"  # MXU-native; params stay float32
+    # Fused-path ROI crop implementation (all share sampling semantics;
+    # chosen by on-chip measurement — see ops/roi.py and ops/pallas_roi.py
+    # docstrings for the numbers):
+    #   "dense"    — hat-matmul crop over the full frame (default: exact for
+    #                every box size, ~70% MFU, fastest measured);
+    #   "windowed" — XLA windowed crop (measured dead end: gather-lowered);
+    #   "pallas"   — DMA-staged windowed kernel (bit-exact below the window,
+    #                latency-bound at ~1.2 us/crop; ~equal to dense).
+    roi_impl: str = "dense"
+    # window size for the "windowed" impl (the pallas kernel uses its own
+    # static 128x256 slab)
+    roi_window: int = 128

@@ -13,7 +13,7 @@ from litepi_tpu.ops.boxes import (
 from litepi_tpu.ops.anchors import make_anchors
 from litepi_tpu.ops.dfl import dfl_decode, decode_boxes
 from litepi_tpu.ops.nms import nms_fixed, nms_numpy_reference
-from litepi_tpu.ops.roi import crop_and_resize
+from litepi_tpu.ops.roi import crop_and_resize, crop_and_resize_windowed
 
 __all__ = [
     "letterbox_host",
@@ -30,4 +30,5 @@ __all__ = [
     "nms_fixed",
     "nms_numpy_reference",
     "crop_and_resize",
+    "crop_and_resize_windowed",
 ]

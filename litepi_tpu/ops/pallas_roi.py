@@ -1,0 +1,250 @@
+"""Pallas TPU kernel for windowed ROI crop+resize.
+
+Third implementation of the detector->classifier ROI bridge (reference crop
+semantics: e2e.py:459-485 — integer-truncated box, bilinear resize to the
+classifier size), after two measured XLA-level forms (see ops/roi.py):
+
+* dense hat-matmul crop — exact, but multiplies every crop against the FULL
+  frame: the MXU spends >95% of its cycles on structurally-zero weights;
+* XLA windowed crop (``crop_and_resize_windowed``) — right FLOP count, but
+  the vmapped ``dynamic_slice`` lowers to per-crop HBM gathers and runs ~6x
+  SLOWER than dense (memory-latency-bound).
+
+The windowed *algorithm* is right; the *data movement* needs to be
+explicit.  This kernel stages each ROI's pixel slab HBM->VMEM with a
+double-buffered async DMA while the previous ROI computes, then runs the
+same separable-bilinear factorisation as the dense path on the slab:
+
+    t_c    = Wy @ slab_c      (out, wy_rows) x (wy_rows, wx_cols)
+    crop_c = t_c @ Wx^T       (out, wx_cols) x (wx_cols, out)
+
+per channel, with the hat weights built in-kernel on the VPU from per-ROI
+SMEM scalars.  Frames are laid out PLANAR (B, C, H, W): DMA start offsets
+must be tile-aligned (rows to 8, lanes to 128), which is impossible at
+pixel granularity in an interleaved (H, W*C) layout; planar channels keep
+the lane axis in whole pixels, and the alignment slack folds into the hat
+weights (the slab starts up to 7 rows / 127 cols before the box).
+
+Boxes larger than the exactness bound sample a 4^k average-pooled pyramid
+level chosen per ROI (anti-aliased; levels are uint8 like the frames).
+Exact vs the dense crop for any box with extent <= EXACT_EXTENT,
+golden-tested in interpreter mode and on chip.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_WIN_R = 128  # slab rows; DMA row start aligned down to 8
+_WIN_C = 256  # slab cols; DMA col start aligned down to 128
+# taps span [floor(start)-1, start+extent+0.5]; with up to 7 rows of
+# row-alignment slack the slab covers any extent <= _WIN_R - 10 (the col
+# bound, _WIN_C - 130, is looser)
+EXACT_EXTENT = _WIN_R - 10
+
+
+def _hat(start, extent, lim, origin, out_n: int, taps: int, transpose: bool):
+    """Hat weights over ``taps`` source lines starting at ``origin``.
+
+    Reproduces ops/roi.py::interp_weights restricted to
+    [origin, origin+taps): u_o = (o+.5)*extent/out_n - .5 + start, clipped
+    to [0, lim-1]; weight on tap t = max(0, 1-|u_o - (origin+t)|).
+    Returns (out_n, taps), or (taps, out_n) when ``transpose`` (tpu.iota is
+    integer-only, hence the int32 build).
+    """
+    shape = (taps, out_n) if transpose else (out_n, taps)
+    o_dim, t_dim = (1, 0) if transpose else (0, 1)
+    o = jax.lax.broadcasted_iota(jnp.int32, shape, o_dim).astype(jnp.float32)
+    t = jax.lax.broadcasted_iota(jnp.int32, shape, t_dim).astype(jnp.float32)
+    u = (o + 0.5) * (extent / out_n) - 0.5 + start
+    u = jnp.clip(u, 0.0, lim - 1.0)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(u - (origin + t)))
+
+
+def _make_kernel(n_levels: int, d: int, out_n: int, c: int):
+    def kernel(
+        lv_ref, r0_ref, c0_ref, ys_ref, ye_ref, xs_ref, xe_ref,
+        yl_ref, xl_ref, valid_ref, *refs,
+    ):
+        level_refs = refs[:n_levels]
+        out_ref = refs[n_levels]
+        win_buf = refs[n_levels + 1]
+        sems = refs[n_levels + 2]
+        b = pl.program_id(0)
+
+        def dma(slot, j):
+            # origins are tile-aligned by the wrapper; tell the compiler
+            r = pl.multiple_of(r0_ref[0, 0, j], 8)
+            col = pl.multiple_of(c0_ref[0, 0, j], 128)
+            lv = lv_ref[0, 0, j]
+            for k in range(n_levels):
+
+                @pl.when(lv == k)
+                def _():
+                    pltpu.make_async_copy(
+                        level_refs[k].at[
+                            b, :, pl.ds(r, _WIN_R), pl.ds(col, _WIN_C)
+                        ],
+                        win_buf.at[slot],
+                        sems.at[slot],
+                    ).start()
+
+        dma(0, 0)
+
+        def body(j, _):
+            slot = jax.lax.rem(j, 2)
+
+            @pl.when(j + 1 < d)
+            def _():
+                dma(jax.lax.rem(j + 1, 2), j + 1)
+
+            # wait on this slot's semaphore (equal byte count either level)
+            pltpu.make_async_copy(
+                level_refs[0].at[b, :, pl.ds(0, _WIN_R), pl.ds(0, _WIN_C)],
+                win_buf.at[slot],
+                sems.at[slot],
+            ).wait()
+
+            wy = _hat(
+                ys_ref[0, 0, j], ye_ref[0, 0, j], yl_ref[0, 0, j],
+                r0_ref[0, 0, j].astype(jnp.float32), out_n, _WIN_R, False,
+            ).astype(jnp.bfloat16)
+            wxt = _hat(
+                xs_ref[0, 0, j], xe_ref[0, 0, j], xl_ref[0, 0, j],
+                c0_ref[0, 0, j].astype(jnp.float32), out_n, _WIN_C, True,
+            ).astype(jnp.bfloat16)
+            v = valid_ref[0, 0, j]
+
+            for ch in range(c):  # static unroll: three 2D MXU pipelines
+                # Mosaic has no direct uint8->bf16 cast; widen via int32/f32
+                slab = (
+                    win_buf[slot, ch]
+                    .astype(jnp.int32)
+                    .astype(jnp.float32)
+                    .astype(jnp.bfloat16)
+                )  # (_WIN_R, _WIN_C)
+                t = jnp.dot(
+                    wy, slab, preferred_element_type=jnp.float32
+                ).astype(jnp.bfloat16)  # (out, _WIN_C)
+                crop = jnp.dot(t, wxt, preferred_element_type=jnp.float32)
+                out_ref[0, j, ch] = crop * v
+            return 0
+
+        jax.lax.fori_loop(0, d, body, 0)
+
+    return kernel
+
+
+def _pad_level(lvl: jnp.ndarray) -> jnp.ndarray:
+    """Pad a planar (B, C, Hk, Wk) level so slab DMAs stay in bounds:
+    rows >= _WIN_R (multiple of 8), cols >= _WIN_C (multiple of 128)."""
+    hk, wk = int(lvl.shape[2]), int(lvl.shape[3])
+    ph = max(_WIN_R, -(-hk // 8) * 8) - hk
+    pw = max(_WIN_C, -(-wk // 128) * 128) - wk
+    if ph or pw:
+        lvl = jnp.pad(lvl, ((0, 0), (0, 0), (0, ph), (0, pw)))
+    return lvl
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def pallas_crop_and_resize(
+    images: jnp.ndarray,
+    boxes: jnp.ndarray,
+    valid: jnp.ndarray,
+    out_size: int = 64,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Windowed ROI crop via the Pallas kernel.
+
+    images: (B, H, W, C) uint8 frames (the serving contract; float inputs
+    are rounded into uint8).  boxes: (B, D, 4) xyxy original pixels;
+    valid: (B, D) bool.  Returns (B, D, out_size, out_size, C) float32,
+    zero at invalid slots — same contract as ops/roi.py::crop_and_resize.
+    """
+    b, h, w, c = (int(s) for s in images.shape)
+    d = int(boxes.shape[1])
+    if images.dtype != jnp.uint8:
+        images = jnp.clip(jnp.round(images), 0, 255).astype(jnp.uint8)
+    planar = jnp.transpose(images, (0, 3, 1, 2))  # (B, C, H, W)
+
+    # 4^k average-pooled pyramid (uint8 levels)
+    scales = [1]
+    while max(h, w) // scales[-1] > EXACT_EXTENT:
+        scales.append(scales[-1] * 4)
+    sizes = [(max(h // s, 1), max(w // s, 1)) for s in scales]
+    levels = [_pad_level(planar)]
+    lvl = planar
+    for k in range(1, len(scales)):
+        p = jax.lax.reduce_window(
+            lvl.astype(jnp.float32),
+            0.0,
+            jax.lax.add,
+            (1, 1, 4, 4),
+            (1, 1, 4, 4),
+            "VALID",
+        ) * 0.0625
+        lvl = jnp.round(p).astype(jnp.uint8)
+        levels.append(_pad_level(lvl))
+    n_levels = len(scales)
+
+    # per-ROI scalars: same sampling math as ops/roi.py, with the level
+    # chosen so the scaled extent fits EXACT_EXTENT
+    scales_f = jnp.asarray(scales, jnp.float32)
+    lim_h = jnp.asarray([s[0] for s in sizes], jnp.float32)
+    lim_w = jnp.asarray([s[1] for s in sizes], jnp.float32)
+    pad_h = jnp.asarray([int(l.shape[2]) for l in levels], jnp.float32)
+    pad_w = jnp.asarray([int(l.shape[3]) for l in levels], jnp.float32)
+    x1 = jnp.floor(boxes[..., 0])
+    y1 = jnp.floor(boxes[..., 1])
+    bw = jnp.maximum(jnp.floor(boxes[..., 2]) - x1, 1.0)
+    bh = jnp.maximum(jnp.floor(boxes[..., 3]) - y1, 1.0)
+    ext = jnp.maximum(bw, bh)
+    if n_levels > 1:
+        lv = jnp.sum(
+            ext[..., None] > EXACT_EXTENT * scales_f[None, None, :-1], axis=-1
+        ).astype(jnp.int32)
+    else:
+        lv = jnp.zeros_like(x1, jnp.int32)
+    s = scales_f[lv]
+    ys, ye, xs, xe = y1 / s, bh / s, x1 / s, bw / s
+    yl, xl = lim_h[lv], lim_w[lv]
+    # slab origins: one line before the box start (the first half-pixel
+    # sample taps left of it), aligned DOWN to the DMA tile (8 rows /
+    # 128 lanes) and clipped so the slab stays inside the padded level
+    r0 = jnp.clip(jnp.floor(ys) - 1.0, 0.0, pad_h[lv] - _WIN_R)
+    r0 = jnp.floor(r0 / 8.0) * 8.0
+    c0 = jnp.clip(jnp.floor(xs) - 1.0, 0.0, pad_w[lv] - _WIN_C)
+    c0 = jnp.floor(c0 / 128.0) * 128.0
+
+    smem = lambda: pl.BlockSpec(  # noqa: E731 — one spec per scalar input
+        (1, 1, d), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+    )
+    out = pl.pallas_call(
+        _make_kernel(n_levels, d, out_size, c),
+        grid=(b,),
+        in_specs=[smem() for _ in range(10)]
+        + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(n_levels)],
+        out_specs=pl.BlockSpec(
+            (1, d, c, out_size, out_size), lambda i: (i, 0, 0, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, d, c, out_size, out_size), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, c, _WIN_R, _WIN_C), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(
+        lv[:, None],
+        r0.astype(jnp.int32)[:, None],
+        c0.astype(jnp.int32)[:, None],
+        ys[:, None], ye[:, None], xs[:, None], xe[:, None],
+        yl[:, None], xl[:, None],
+        valid.astype(jnp.float32)[:, None],
+        *levels,
+    )
+    return jnp.transpose(out, (0, 1, 3, 4, 2))
