@@ -307,6 +307,85 @@ class OptimizationExperiment:
             )
         return "\n".join(lines)
 
+    def plot_optimization_progress(self, path: str) -> Optional[str]:
+        """2x2 progress figure: latency / FPS bars, accuracy bars, and a
+        cumulative-speedup line (the reference's
+        ``plot_optimization_progress``, runner.py:1010-1109, with mAP50 in
+        place of its TP/FP-derived scores).  Returns the written path, or
+        None without matplotlib."""
+        if not self.results:
+            return None
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:  # pragma: no cover - matplotlib is optional
+            return None
+
+        specs = [s for s in self.levels if s.name in self.results]
+        stats = [self.results[s.name] for s in specs]
+        ticks = [f"L{i}" for i in range(len(specs))]
+        x = np.arange(len(specs))
+
+        fig, axes = plt.subplots(2, 2, figsize=(14, 10))
+        fig.suptitle(
+            "Multi-Level Optimisation Results (TPU)", fontsize=16,
+            fontweight="bold",
+        )
+
+        ax = axes[0, 0]
+        ax.bar(x, [s["mean"] for s in stats], alpha=0.7, edgecolor="black")
+        ax.set_xticks(x, ticks)
+        ax.set_xlabel("Optimisation level")
+        ax.set_ylabel("Latency (ms)")
+        ax.set_title("End-to-end batch latency")
+        ax.grid(axis="y", alpha=0.3)
+
+        ax = axes[0, 1]
+        ax.bar(x, [s["fps"] for s in stats], alpha=0.7, edgecolor="black")
+        ax.set_xticks(x, ticks)
+        ax.set_xlabel("Optimisation level")
+        ax.set_ylabel("FPS")
+        ax.set_title("Throughput")
+        ax.grid(axis="y", alpha=0.3)
+
+        ax = axes[1, 0]
+        width = 0.25
+        ax.bar(x - width, [s["precision"] for s in stats], width,
+               label="Precision", alpha=0.7)
+        ax.bar(x, [s["recall"] for s in stats], width, label="Recall",
+               alpha=0.7)
+        ax.bar(x + width, [s["mAP50"] for s in stats], width, label="mAP50",
+               alpha=0.7)
+        ax.set_xticks(x, ticks)
+        ax.set_xlabel("Optimisation level")
+        ax.set_ylabel("Score")
+        ax.set_title("Detection accuracy")
+        ax.legend()
+        ax.grid(axis="y", alpha=0.3)
+
+        ax = axes[1, 1]
+        base = stats[0]["fps"] or 1.0
+        speedups = [s["fps"] / base for s in stats]
+        ax.plot(x, speedups, marker="o", linewidth=2, markersize=8)
+        ax.fill_between(x, speedups, alpha=0.3)
+        for i, v in enumerate(speedups):
+            ax.annotate(
+                f"{v:.2f}x", (i, v), textcoords="offset points",
+                xytext=(0, 10), ha="center", fontweight="bold",
+            )
+        ax.set_xticks(x, ticks)
+        ax.set_xlabel("Optimisation level")
+        ax.set_ylabel("Speedup factor")
+        ax.set_title("Cumulative speedup vs L0")
+        ax.grid(True, alpha=0.3)
+
+        fig.tight_layout()
+        fig.savefig(path, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+        return path
+
     def generate_latex(self) -> str:
         rows = [
             "\\begin{tabular}{llrrrr}",
@@ -337,6 +416,10 @@ def main(argv=None) -> int:  # pragma: no cover - exercised on hardware
     p.add_argument("--labels", default=None, help="YOLO label dir for --images")
     p.add_argument("--max_images", type=int, default=50)
     p.add_argument("--output", default=None, help="write CSV report here")
+    p.add_argument(
+        "--plot", default=None, metavar="PNG",
+        help="write the 2x2 optimisation-progress figure here",
+    )
     args = p.parse_args(argv)
 
     exp = OptimizationExperiment(
@@ -351,6 +434,9 @@ def main(argv=None) -> int:  # pragma: no cover - exercised on hardware
     if args.output:
         with open(args.output, "w") as f:
             f.write(report + "\n")
+    if args.plot:
+        written = exp.plot_optimization_progress(args.plot)
+        print(f"progress figure: {written or 'skipped (no matplotlib)'}")
     return 0
 
 

@@ -70,3 +70,18 @@ def test_pipeline_cache_shared_across_levels():
         dataclasses.replace(TINY_LEVELS[1], batch=99)  # batch not part of key
     )
     assert a is b
+
+
+def test_plot_optimization_progress(tmp_path):
+    from litepi_tpu.bench.ladder import LEVELS, OptimizationExperiment
+
+    exp = OptimizationExperiment(levels=LEVELS[:3])
+    for i, spec in enumerate(exp.levels):
+        exp.results[spec.name] = {
+            "mean": 100.0 / (i + 1), "p50": 90.0, "p95": 110.0, "p99": 120.0,
+            "fps": 10.0 * (i + 1), "batch": spec.batch,
+            "mAP50": 0.5, "precision": 0.6, "recall": 0.4,
+        }
+    out = exp.plot_optimization_progress(str(tmp_path / "prog.png"))
+    import os
+    assert out is None or (os.path.exists(out) and os.path.getsize(out) > 0)
