@@ -77,9 +77,12 @@ def main() -> None:
                     det_vars, cls_vars, (640, 640), conf, carry
                 )
                 # data-dependent perturbation chains iterations so XLA cannot
-                # collapse the loop; one cheap elementwise pass over the batch
+                # collapse the loop.  A single-element in-place carry update
+                # keeps the dependency while avoiding a full-batch uint8
+                # read+write per iteration (~0.7 ms/batch of pure
+                # measurement overhead at B=128, measured round 2b)
                 bump = (out["cls_labels"].sum() % 2).astype(jnp.uint8)
-                return frames + bump, out["valid"].sum()
+                return carry.at[0, 0, 0, 0].add(bump), out["valid"].sum()
             _, counts = jax.lax.scan(body, frames, None, length=n_iters)
             return counts
 
