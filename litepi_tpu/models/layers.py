@@ -23,7 +23,18 @@ from flax import linen as nn
 
 class ConvBN(nn.Module):
     """Conv2D + BatchNorm + optional SiLU (the reference graph's fused
-    conv/swish unit, e.g. model.ncnn.param:4-7)."""
+    conv/swish unit, e.g. model.ncnn.param:4-7).
+
+    ``fused=True`` builds the DEPLOY form: a biased conv with no BN — the
+    exact inference-time algebra of Conv+BN once the running stats are
+    folded into the kernel/bias (weights/fold_bn.py::fold_batchnorm).  The
+    reference ships exactly this form (its exported NCNN convs carry bias,
+    model.ncnn.param).  Measured motivation: unfused inference BN lowers to
+    a separate elementwise divide/multiply pass over every activation map
+    (~3 ms/step of pure HBM traffic on the B=128 detector, round-2b
+    profile); folding removes those passes.  Training always uses the
+    unfused form (``fused`` and ``train`` are mutually exclusive).
+    """
 
     features: int
     kernel: int = 1
@@ -32,27 +43,31 @@ class ConvBN(nn.Module):
     act: bool = True
     padding: int = -1  # -1 -> k // 2 autopad; >= 0 -> explicit
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         pad = self.kernel // 2 if self.padding < 0 else self.padding
+        if self.fused and train:
+            raise ValueError("fused ConvBN has no batch stats to train")
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
             padding=((pad, pad), (pad, pad)),
             feature_group_count=self.groups,
-            use_bias=False,
+            use_bias=self.fused,
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.97,
-            epsilon=1e-3,
-            dtype=self.dtype,
-            name="bn",
-        )(x)
+        if not self.fused:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.97,
+                epsilon=1e-3,
+                dtype=self.dtype,
+                name="bn",
+            )(x)
         return nn.silu(x) if self.act else x
 
 
@@ -62,11 +77,16 @@ class Bottleneck(nn.Module):
     features: int
     shortcut: bool = True
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        y = ConvBN(self.features, 3, dtype=self.dtype, name="cv1")(x, train)
-        y = ConvBN(self.features, 3, dtype=self.dtype, name="cv2")(y, train)
+        y = ConvBN(
+            self.features, 3, dtype=self.dtype, fused=self.fused, name="cv1"
+        )(x, train)
+        y = ConvBN(
+            self.features, 3, dtype=self.dtype, fused=self.fused, name="cv2"
+        )(y, train)
         if self.shortcut and x.shape[-1] == self.features:
             y = x + y
         return y
@@ -85,20 +105,26 @@ class C2f(nn.Module):
     n: int = 1
     shortcut: bool = False
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         hidden = self.features // 2
-        y = ConvBN(2 * hidden, 1, dtype=self.dtype, name="cv1")(x, train)
+        y = ConvBN(
+            2 * hidden, 1, dtype=self.dtype, fused=self.fused, name="cv1"
+        )(x, train)
         a, b = jnp.split(y, 2, axis=-1)
         outs = [a, b]
         for i in range(self.n):
             b = Bottleneck(
-                hidden, self.shortcut, dtype=self.dtype, name=f"m{i}"
+                hidden, self.shortcut, dtype=self.dtype, fused=self.fused,
+                name=f"m{i}",
             )(b, train)
             outs.append(b)
         y = jnp.concatenate(outs, axis=-1)
-        return ConvBN(self.features, 1, dtype=self.dtype, name="cv2")(y, train)
+        return ConvBN(
+            self.features, 1, dtype=self.dtype, fused=self.fused, name="cv2"
+        )(y, train)
 
 
 class SPPF(nn.Module):
@@ -108,11 +134,14 @@ class SPPF(nn.Module):
     features: int
     pool: int = 5
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         hidden = x.shape[-1] // 2
-        x = ConvBN(hidden, 1, dtype=self.dtype, name="cv1")(x, train)
+        x = ConvBN(
+            hidden, 1, dtype=self.dtype, fused=self.fused, name="cv1"
+        )(x, train)
         pad = self.pool // 2
         pools = [x]
         for _ in range(3):
@@ -125,7 +154,9 @@ class SPPF(nn.Module):
                 )
             )
         y = jnp.concatenate(pools, axis=-1)
-        return ConvBN(self.features, 1, dtype=self.dtype, name="cv2")(y, train)
+        return ConvBN(
+            self.features, 1, dtype=self.dtype, fused=self.fused, name="cv2"
+        )(y, train)
 
 
 def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:

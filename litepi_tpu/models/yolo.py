@@ -34,6 +34,7 @@ from litepi_tpu.models.layers import C2f, ConvBN, SPPF, upsample2x_nearest
 class Backbone(nn.Module):
     cfg: DetectorConfig
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(
@@ -41,18 +42,18 @@ class Backbone(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         c = self.cfg.channels  # (stem, p2, p3, p4, p5)
         d = self.cfg.depths  # C2f repeats per stage
-        dt = self.dtype
+        dt, fu = self.dtype, self.fused
 
-        x = ConvBN(c[0], 3, 2, dtype=dt, name="stem")(x, train)  # P1/2
-        x = ConvBN(c[1], 3, 2, dtype=dt, name="down1")(x, train)  # P2/4
-        x = C2f(c[1], d[0], shortcut=True, dtype=dt, name="c2f1")(x, train)
-        x = ConvBN(c[2], 3, 2, dtype=dt, name="down2")(x, train)  # P3/8
-        p3 = C2f(c[2], d[1], shortcut=True, dtype=dt, name="c2f2")(x, train)
-        x = ConvBN(c[3], 3, 2, dtype=dt, name="down3")(p3, train)  # P4/16
-        p4 = C2f(c[3], d[2], shortcut=True, dtype=dt, name="c2f3")(x, train)
-        x = ConvBN(c[4], 3, 2, dtype=dt, name="down4")(p4, train)  # P5/32
-        x = C2f(c[4], d[3], shortcut=True, dtype=dt, name="c2f4")(x, train)
-        p5 = SPPF(c[4], 5, dtype=dt, name="sppf")(x, train)
+        x = ConvBN(c[0], 3, 2, dtype=dt, fused=fu, name="stem")(x, train)
+        x = ConvBN(c[1], 3, 2, dtype=dt, fused=fu, name="down1")(x, train)
+        x = C2f(c[1], d[0], shortcut=True, dtype=dt, fused=fu, name="c2f1")(x, train)
+        x = ConvBN(c[2], 3, 2, dtype=dt, fused=fu, name="down2")(x, train)
+        p3 = C2f(c[2], d[1], shortcut=True, dtype=dt, fused=fu, name="c2f2")(x, train)
+        x = ConvBN(c[3], 3, 2, dtype=dt, fused=fu, name="down3")(p3, train)
+        p4 = C2f(c[3], d[2], shortcut=True, dtype=dt, fused=fu, name="c2f3")(x, train)
+        x = ConvBN(c[4], 3, 2, dtype=dt, fused=fu, name="down4")(p4, train)
+        x = C2f(c[4], d[3], shortcut=True, dtype=dt, fused=fu, name="c2f4")(x, train)
+        p5 = SPPF(c[4], 5, dtype=dt, fused=fu, name="sppf")(x, train)
         return p3, p4, p5
 
 
@@ -61,6 +62,7 @@ class PANNeck(nn.Module):
 
     cfg: DetectorConfig
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(
@@ -72,21 +74,21 @@ class PANNeck(nn.Module):
         c = self.cfg.channels
         # neck C2f repeats mirror the first backbone stage's scaled depth
         n = self.cfg.depths[0]
-        dt = self.dtype
+        dt, fu = self.dtype, self.fused
 
         # top-down
         t4 = jnp.concatenate([upsample2x_nearest(p5), p4], axis=-1)
-        t4 = C2f(c[3], n, dtype=dt, name="td_p4")(t4, train)
+        t4 = C2f(c[3], n, dtype=dt, fused=fu, name="td_p4")(t4, train)
         t3 = jnp.concatenate([upsample2x_nearest(t4), p3], axis=-1)
-        n3 = C2f(c[2], n, dtype=dt, name="td_p3")(t3, train)
+        n3 = C2f(c[2], n, dtype=dt, fused=fu, name="td_p3")(t3, train)
 
         # bottom-up
-        b4 = ConvBN(c[2], 3, 2, dtype=dt, name="bu_down3")(n3, train)
+        b4 = ConvBN(c[2], 3, 2, dtype=dt, fused=fu, name="bu_down3")(n3, train)
         b4 = jnp.concatenate([b4, t4], axis=-1)
-        n4 = C2f(c[3], n, dtype=dt, name="bu_p4")(b4, train)
-        b5 = ConvBN(c[3], 3, 2, dtype=dt, name="bu_down4")(n4, train)
+        n4 = C2f(c[3], n, dtype=dt, fused=fu, name="bu_p4")(b4, train)
+        b5 = ConvBN(c[3], 3, 2, dtype=dt, fused=fu, name="bu_down4")(n4, train)
         b5 = jnp.concatenate([b5, p5], axis=-1)
-        n5 = C2f(c[4], n, dtype=dt, name="bu_p5")(b5, train)
+        n5 = C2f(c[4], n, dtype=dt, fused=fu, name="bu_p5")(b5, train)
         return n3, n4, n5
 
 
@@ -95,6 +97,7 @@ class DetectHead(nn.Module):
 
     cfg: DetectorConfig
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(
@@ -103,19 +106,19 @@ class DetectHead(nn.Module):
         train: bool = False,
     ) -> Dict[str, jnp.ndarray]:
         cfg = self.cfg
-        dt = self.dtype
+        dt, fu = self.dtype, self.fused
         c_reg = cfg.reg_channels
         c_cls = cfg.cls_channels
 
         reg_out, cls_out = [], []
         for i, f in enumerate(feats):
-            r = ConvBN(c_reg, 3, dtype=dt, name=f"reg{i}_cv1")(f, train)
-            r = ConvBN(c_reg, 3, dtype=dt, name=f"reg{i}_cv2")(r, train)
+            r = ConvBN(c_reg, 3, dtype=dt, fused=fu, name=f"reg{i}_cv1")(f, train)
+            r = ConvBN(c_reg, 3, dtype=dt, fused=fu, name=f"reg{i}_cv2")(r, train)
             r = nn.Conv(
                 4 * cfg.reg_max, (1, 1), dtype=dt, name=f"reg{i}_out"
             )(r)
-            k = ConvBN(c_cls, 3, dtype=dt, name=f"cls{i}_cv1")(f, train)
-            k = ConvBN(c_cls, 3, dtype=dt, name=f"cls{i}_cv2")(k, train)
+            k = ConvBN(c_cls, 3, dtype=dt, fused=fu, name=f"cls{i}_cv1")(f, train)
+            k = ConvBN(c_cls, 3, dtype=dt, fused=fu, name=f"cls{i}_cv2")(k, train)
             k = nn.Conv(cfg.num_classes, (1, 1), dtype=dt, name=f"cls{i}_out")(k)
             b = f.shape[0]
             reg_out.append(r.reshape(b, -1, 4 * cfg.reg_max))
@@ -141,10 +144,16 @@ class YoloLitePi(nn.Module):
 
     cfg: DetectorConfig
     dtype: jnp.dtype = jnp.float32
+    # deploy form: BN folded into biased convs (weights/fold_bn.py); exact
+    # inference algebra of the unfused model, minus one elementwise HBM
+    # pass per ConvBN
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
         x = x.astype(self.dtype)
-        feats = Backbone(self.cfg, self.dtype, name="backbone")(x, train)
-        feats = PANNeck(self.cfg, self.dtype, name="neck")(feats, train)
-        return DetectHead(self.cfg, self.dtype, name="head")(feats, train)
+        feats = Backbone(
+            self.cfg, self.dtype, self.fused, name="backbone"
+        )(x, train)
+        feats = PANNeck(self.cfg, self.dtype, self.fused, name="neck")(feats, train)
+        return DetectHead(self.cfg, self.dtype, self.fused, name="head")(feats, train)

@@ -65,7 +65,17 @@ class TwoStagePipeline:
         # (e.g. anchor-based YoloV5) supply ``candidate_decoder(out, k) ->
         # (boxes, scores, class_ids)`` returning top-k score-descending
         # candidates in input-pixel space
-        self.det_model = det_model or YoloLitePi(cfg.detector, dtype=dtype)
+        if det_model is None:
+            # serving runs the deploy form: BN folded into biased convs
+            # (exact inference algebra; kills one elementwise HBM pass per
+            # ConvBN — see weights/fold_bn.py).  Injected custom models are
+            # used as-is with their own variables.
+            from litepi_tpu.weights.fold_bn import fold_detector_pipeline_vars
+
+            det_vars, fused = fold_detector_pipeline_vars(det_vars)
+            self.det_model = YoloLitePi(cfg.detector, dtype=dtype, fused=fused)
+        else:
+            self.det_model = det_model
         self._candidate_decoder = candidate_decoder
         # Pin params to the default (accelerator) device NOW.  fast_init
         # leaves them COMMITTED to the host CPU device; passed as jit

@@ -1,0 +1,104 @@
+"""Fold inference BatchNorm into conv kernels/biases (deploy-form weights).
+
+The reference ships BN-fused graphs (its exported NCNN convs carry bias —
+model.ncnn.param); training-side checkpoints here keep Conv(use_bias=False)
++ BatchNorm.  This transform rewrites such variables into the biased-conv
+form consumed by ``ConvBN(fused=True)`` models:
+
+    s  = gamma / sqrt(running_var + eps)
+    W' = W * s          (per output channel)
+    b' = beta - running_mean * s
+
+Exact in float32 — the fused forward equals the unfused inference forward
+to rounding.  Motivation is HBM traffic, not FLOPs: unfused inference BN
+lowers to a separate elementwise pass over every activation map (measured
+~3 ms/step on the B=128 detector, round-2b profile).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax.numpy as jnp
+
+BN_EPS = 1e-3  # litepi_tpu.models.layers.ConvBN's BatchNorm epsilon
+
+
+def has_batchnorm(variables: Dict[str, Any]) -> bool:
+    """True when the variable tree still carries BatchNorm statistics."""
+    return bool(variables.get("batch_stats"))
+
+
+def fold_batchnorm(
+    variables: Dict[str, Any], eps: float = BN_EPS
+) -> Dict[str, Any]:
+    """Return deploy-form variables: every ``{conv, bn}`` sibling pair in
+    ``params`` (with matching running stats in ``batch_stats``) becomes a
+    biased ``conv``; the ``batch_stats`` collection disappears.
+
+    Nodes without a bn sibling (plain output convs, dense layers) pass
+    through unchanged, so the transform is safe on any model built from
+    :class:`litepi_tpu.models.layers.ConvBN`-style blocks.  Idempotent:
+    already-folded trees (no batch_stats) are returned as-is.
+    """
+    if not has_batchnorm(variables):
+        return {"params": variables["params"]} if "params" in variables else variables
+
+    def fold(params: Dict[str, Any], stats: Dict[str, Any]) -> Dict[str, Any]:
+        out: Dict[str, Any] = {}
+        keys = set(params) | set(stats)
+        if "conv" in params and "bn" in params and "bn" in stats:
+            bn_p, bn_s = params["bn"], stats["bn"]
+            s = bn_p["scale"] / jnp.sqrt(bn_s["var"] + eps)
+            conv = dict(params["conv"])
+            # Flax conv kernels are (kh, kw, cin/groups, cout): scale cout
+            conv["kernel"] = conv["kernel"] * s
+            base = conv.get("bias", 0.0)
+            conv["bias"] = base + bn_p["bias"] - bn_s["mean"] * s
+            out = {k: v for k, v in params.items() if k not in ("conv", "bn")}
+            out["conv"] = conv
+            return out
+        for k in keys:
+            p, st = params.get(k), stats.get(k)
+            if isinstance(p, dict) and isinstance(st, dict):
+                out[k] = fold(p, st)
+            elif p is not None:
+                out[k] = p
+            # stats-only subtree (bn with no conv sibling at this level):
+            # leave for the recursion above to consume; a dangling one means
+            # a BN this transform cannot fold
+            elif isinstance(st, dict) and _contains_stats(st):
+                raise ValueError(
+                    f"unfoldable BatchNorm at '{k}': no conv sibling"
+                )
+        return out
+
+    def _contains_stats(node: Dict[str, Any]) -> bool:
+        return "mean" in node or any(
+            isinstance(v, dict) and _contains_stats(v) for v in node.values()
+        )
+
+    return {"params": fold(variables["params"], variables["batch_stats"])}
+
+
+def fold_detector_pipeline_vars(
+    variables: Dict[str, Any],
+) -> Tuple[Dict[str, Any], bool]:
+    """Pipeline helper: fold when stats are present.  Returns
+    ``(variables, fused)`` where ``fused`` says which model form to build."""
+    if has_batchnorm(variables):
+        return fold_batchnorm(variables), True
+    # no stats: either already deploy-form (conv biases present) or a
+    # BN-free model; the unfused module form still applies only if params
+    # carry bn scale/bias — detect that
+    params = variables.get("params", {})
+
+    def any_bn(node) -> bool:
+        if not isinstance(node, dict):
+            return False
+        return "bn" in node or any(any_bn(v) for v in node.values())
+
+    if any_bn(params):
+        # bn params without stats cannot run inference correctly anyway
+        return variables, False
+    return variables, True

@@ -1,0 +1,95 @@
+"""BN folding (deploy-form weights) vs the unfused inference forward.
+
+fold_batchnorm must be exact: fused-model outputs equal unfused-model
+inference outputs to float32 rounding, for the detector family and through
+the pipeline constructor.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from litepi_tpu.core.types import YOLO_PLUS_V1, DetectorConfig, PipelineConfig
+from litepi_tpu.models import YoloLitePi
+from litepi_tpu.weights.fold_bn import (
+    fold_batchnorm,
+    fold_detector_pipeline_vars,
+    has_batchnorm,
+)
+
+TINY = DetectorConfig(name="tiny", input_size=64)
+
+
+def _init_vars(model, size):
+    return model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3), jnp.float32)
+    )
+
+
+def test_fold_exact_forward():
+    unfused = YoloLitePi(TINY)
+    fused = YoloLitePi(TINY, fused=True)
+    variables = _init_vars(unfused, 64)
+    # make running stats non-trivial so the fold actually does work
+    variables = jax.tree_util.tree_map(
+        lambda x: x + 0.05 * np.random.default_rng(0).standard_normal(x.shape)
+        .astype(np.float32),
+        variables,
+    )
+    folded = fold_batchnorm(variables)
+    assert not has_batchnorm(folded)
+
+    x = jnp.asarray(
+        np.random.default_rng(1).random((2, 64, 64, 3)), jnp.float32
+    )
+    a = unfused.apply(variables, x, train=False)
+    b = fused.apply(folded, x, train=False)
+    np.testing.assert_allclose(a["reg"], b["reg"], atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(a["cls"], b["cls"], atol=2e-4, rtol=1e-4)
+
+
+def test_fold_idempotent_and_param_shapes():
+    model = YoloLitePi(TINY)
+    variables = _init_vars(model, 64)
+    folded = fold_batchnorm(variables)
+    again = fold_batchnorm(folded)
+    assert jax.tree_util.tree_structure(folded) == jax.tree_util.tree_structure(again)
+    # fused model accepts the folded tree directly
+    fused = YoloLitePi(TINY, fused=True)
+    ref = fused.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+    )
+    assert (
+        jax.tree_util.tree_structure(ref["params"])
+        == jax.tree_util.tree_structure(folded["params"])
+    )
+
+
+def test_pipeline_constructor_folds():
+    from litepi_tpu.pipeline import TwoStagePipeline
+
+    cfg = PipelineConfig(
+        detector=DetectorConfig(name="tiny_v1", base_channels=YOLO_PLUS_V1.base_channels,
+                                input_size=64),
+        det_input_size=64,
+        cls_input_size=32,
+    )
+    pipe = TwoStagePipeline.initialize(cfg, seed=0, dtype=jnp.float32)
+    assert pipe.det_model.fused
+    assert "batch_stats" not in pipe.det_vars
+    out = pipe.run_fused(
+        np.zeros((1, 64, 64, 3), np.uint8), conf_threshold=0.5
+    )
+    assert np.isfinite(np.asarray(out["cls_probs"])).all()
+
+
+def test_fused_model_refuses_training():
+    fused = YoloLitePi(TINY, fused=True)
+    variables = fold_batchnorm(_init_vars(YoloLitePi(TINY), 64))
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    try:
+        fused.apply(variables, x, train=True)
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
