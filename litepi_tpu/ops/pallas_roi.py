@@ -228,7 +228,7 @@ def pallas_crop_and_resize(
         _make_kernel(n_levels, d, out_size, c),
         grid=(b,),
         in_specs=[smem() for _ in range(10)]
-        + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(n_levels)],
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_levels)],
         out_specs=pl.BlockSpec(
             (1, d, c, out_size, out_size), lambda i: (i, 0, 0, 0, 0)
         ),

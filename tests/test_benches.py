@@ -17,6 +17,7 @@ from litepi_tpu.bench.detector_bench import (
 )
 
 
+@pytest.mark.slow
 def test_detector_bench_row_schema():
     row = benchmark_detector(
         "yolo_plus_v1", batch=1, warmup=1, iters=2, input_size=128,
@@ -33,6 +34,7 @@ def test_detector_bench_row_schema():
 @pytest.mark.parametrize(
     "variant,size", [("yolov5n", 128), ("yolov11n", 128), ("faster_rcnn", 128)]
 )
+@pytest.mark.slow
 def test_detector_bench_other_families(variant, size):
     """The v5 anchor-based and two-stage baselines run through the same
     fair-benchmark protocol (reference: detect_eval_results_fps_rcnn_ssd.csv
@@ -43,6 +45,7 @@ def test_detector_bench_other_families(variant, size):
     assert row["model"] == variant and row["fps"] > 0
 
 
+@pytest.mark.slow
 def test_detector_bench_ssd300():
     row = benchmark_detector(
         "ssd300", batch=1, warmup=0, iters=1, dtype="float32"

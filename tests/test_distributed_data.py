@@ -50,6 +50,7 @@ def test_make_global_batch_shards_over_data_axis():
     assert glob["images"].addressable_shards[0].data.shape[0] == 2
 
 
+@pytest.mark.slow
 def test_distribute_batches_feeds_sharded_train_step():
     """The distributed loader's output drives the real sharded train step."""
     import functools

@@ -30,6 +30,7 @@ def synth_dataset(tmp_path_factory):
     return img_dir, lbl_dir
 
 
+@pytest.mark.slow
 def test_cli_end_to_end(synth_dataset, tmp_path):
     from litepi_tpu.apps.e2e import main
 

@@ -6,6 +6,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# every test here builds the full baseline model (heavy on 1 CPU)
+pytestmark = pytest.mark.slow
+
 from litepi_tpu.models.faster_rcnn import (
     FasterRCNN,
     decode_deltas,

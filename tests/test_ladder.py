@@ -3,6 +3,8 @@ tiny shapes (full-size runs happen on hardware via the CLI)."""
 
 import dataclasses
 
+import pytest
+
 import numpy as np
 
 from litepi_tpu.bench.ladder import LevelSpec, OptimizationExperiment
@@ -23,6 +25,7 @@ TINY_LEVELS = [
 ]
 
 
+@pytest.mark.slow
 def test_ladder_runs_and_reports():
     exp = OptimizationExperiment(TINY_CFG, levels=TINY_LEVELS)
     exp.use_synthetic_dataset(n=4)

@@ -24,6 +24,7 @@ def pipe():
     return TwoStagePipeline.initialize(SMALL, seed=0)
 
 
+@pytest.mark.slow
 def test_mesh_serving_matches_single_device(pipe):
     mesh = make_mesh(8, backend="cpu")
     server = MeshServer(pipe, mesh)

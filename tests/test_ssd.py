@@ -5,6 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# every test here builds the full baseline model (heavy on 1 CPU)
+pytestmark = pytest.mark.slow
+
 from litepi_tpu.models.ssd import (
     NUM_SSD_BOXES,
     SSD300,

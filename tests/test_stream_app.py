@@ -30,6 +30,7 @@ COMMON = [
 ]
 
 
+@pytest.mark.slow
 def test_video_mode(small_video, tmp_path):
     from litepi_tpu.apps.stream import main
 

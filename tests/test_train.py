@@ -116,6 +116,7 @@ def _tiny_batch(rng, b=2, g=3, size=64):
     }
 
 
+@pytest.mark.slow
 def test_detector_loss_finite_and_differentiable():
     model, state, tx = create_detector_train_state(TINY, dtype=jnp.float32)
     batch = _tiny_batch(np.random.default_rng(0))
@@ -131,6 +132,7 @@ def test_detector_loss_finite_and_differentiable():
     assert max(jax.tree.leaves(delta)) > 0
 
 
+@pytest.mark.slow
 def test_detector_overfits_tiny_batch():
     """Loss must fall substantially when repeatedly stepping on one batch."""
     model, state, tx = create_detector_train_state(TINY, lr=5e-3, dtype=jnp.float32)
@@ -181,6 +183,7 @@ def test_detector_train_step_sharded_over_mesh():
     assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_detector_ema_follows_ultralytics_recipe():
     """EMA params follow e' = d*e + (1-d)*p with d = 0.9999*(1-exp(-t/2000)),
     replayed exactly from the recorded per-step params."""

@@ -26,6 +26,7 @@ def det_data(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_train_detector_cli(det_data, tmp_path):
     from litepi_tpu.apps.train_detector import main
 
@@ -51,6 +52,7 @@ def test_train_detector_cli(det_data, tmp_path):
     assert "params" in vars_ and "batch_stats" in vars_
 
 
+@pytest.mark.slow
 def test_train_detector_resume_matches_uninterrupted(det_data, tmp_path):
     """1 epoch + --resume for 2 more == 3 epochs straight through: the
     resume checkpoint carries params, EMA, optimizer moments and the epoch
@@ -99,6 +101,7 @@ def jax_flatten(tree, prefix=""):
     return out
 
 
+@pytest.mark.slow
 def test_train_classifier_resume_cursor(tmp_path):
     """Classifier --resume restores the epoch cursor and full state."""
     import cv2
