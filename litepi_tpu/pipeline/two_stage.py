@@ -240,8 +240,14 @@ class TwoStagePipeline:
         if cfg.roi_impl == "pallas":
             from litepi_tpu.ops.pallas_roi import pallas_crop_and_resize
 
+            # interpreter mode off-TPU so the same config is testable on
+            # the CPU suite (Mosaic kernels only compile for real TPUs)
             crops = pallas_crop_and_resize(
-                frames, orig_boxes, v, cfg.cls_input_size
+                frames,
+                orig_boxes,
+                v,
+                cfg.cls_input_size,
+                jax.default_backend() != "tpu",
             )
         elif cfg.roi_impl == "windowed":
             crops = crop_and_resize_windowed(

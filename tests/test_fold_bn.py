@@ -93,3 +93,33 @@ def test_fused_model_refuses_training():
     except ValueError:
         raised = True
     assert raised
+
+
+def test_fused_pipeline_pallas_roi_path():
+    """roi_impl='pallas' through run_fused (interpreter mode off-TPU)."""
+    import dataclasses
+
+    from litepi_tpu.pipeline import TwoStagePipeline
+
+    cfg = PipelineConfig(
+        detector=DetectorConfig(name="tiny_p", input_size=64),
+        det_input_size=64,
+        cls_input_size=32,
+        roi_impl="pallas",
+    )
+    pipe = TwoStagePipeline.initialize(cfg, seed=0, dtype=jnp.float32)
+    frames = np.random.default_rng(0).integers(
+        0, 256, (2, 64, 64, 3), np.uint8
+    )
+    out = pipe.run_fused(frames, conf_threshold=0.01)
+    assert np.isfinite(np.asarray(out["cls_probs"])).all()
+    # dense path on the same weights must agree wherever detections exist
+    dense = TwoStagePipeline(
+        dataclasses.replace(cfg, roi_impl="dense"),
+        pipe.det_vars,
+        pipe.cls_vars,
+        dtype=jnp.float32,
+    ).run_fused(frames, conf_threshold=0.01)
+    np.testing.assert_allclose(
+        np.asarray(out["boxes"]), np.asarray(dense["boxes"]), atol=1e-5
+    )
