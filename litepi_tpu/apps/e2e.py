@@ -76,6 +76,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "--detector_threads", type=int, default=4, help=argparse.SUPPRESS
     )  # accepted for compatibility; XLA owns on-chip threading
     p.add_argument("--device", default="tpu", choices=["tpu", "cpu"])
+    p.add_argument(
+        "--roi_impl", default="dense",
+        choices=["dense", "windowed", "pallas"],
+        help="fused-path ROI crop implementation (ops/roi.py measurements)",
+    )
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     # metric semantics: "reference" reproduces the reference evaluator
     # exactly (e2e.py:656-824) so CSV rows are comparable to its published
@@ -187,6 +192,7 @@ def main(argv=None) -> int:
         benchmark_conf=args.benchmark_conf,
         cls_mean=cls_mean,
         cls_std=cls_std,
+        roi_impl=args.roi_impl,
     )
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
