@@ -54,7 +54,7 @@ def evaluate_classifier(
     labels: np.ndarray,
     num_classes: int,
     batch: int = 128,
-    warmup: int = 5,
+    warmup: int = 2,  # discarded full scans incl. the compile run
     timed_iters: int = 20,
     dtype: str = "float32",
 ) -> Dict[str, float]:
@@ -98,8 +98,9 @@ def evaluate_classifier(
         _, outs = jax.lax.scan(body, x, None, length=timed_iters)
         return outs
 
-    np.asarray(timed_run(variables, bench))
-    for _ in range(max(warmup - 1, 1)):
+    # ``warmup`` counts discarded runs INCLUDING the compile run (each
+    # discarded run is a full timed_iters scan now, so keep it small)
+    for _ in range(max(warmup, 1)):
         np.asarray(timed_run(variables, bench))
     t0 = time.perf_counter()
     np.asarray(timed_run(variables, bench))

@@ -325,7 +325,9 @@ class OptimizationExperiment:
 
         specs = [s for s in self.levels if s.name in self.results]
         stats = [self.results[s.name] for s in specs]
-        ticks = [f"L{i}" for i in range(len(specs))]
+        # label by the level's REAL identity, not its position, so partial
+        # runs (a missing level) don't mislabel the bars
+        ticks = [s.name.replace("Level ", "L") for s in specs]
         x = np.arange(len(specs))
 
         fig, axes = plt.subplots(2, 2, figsize=(14, 10))
@@ -366,6 +368,7 @@ class OptimizationExperiment:
         ax.grid(axis="y", alpha=0.3)
 
         ax = axes[1, 1]
+        # baseline = the first level PRESENT (titled accordingly)
         base = stats[0]["fps"] or 1.0
         speedups = [s["fps"] / base for s in stats]
         ax.plot(x, speedups, marker="o", linewidth=2, markersize=8)
@@ -378,7 +381,7 @@ class OptimizationExperiment:
         ax.set_xticks(x, ticks)
         ax.set_xlabel("Optimisation level")
         ax.set_ylabel("Speedup factor")
-        ax.set_title("Cumulative speedup vs L0")
+        ax.set_title(f"Cumulative speedup vs {ticks[0]}")
         ax.grid(True, alpha=0.3)
 
         fig.tight_layout()

@@ -54,25 +54,7 @@ _WIN_C = 256  # slab cols; DMA col start aligned down to 128
 EXACT_EXTENT = _WIN_R - 10
 
 
-def _hat(start, extent, lim, origin, out_n: int, taps: int, transpose: bool):
-    """Hat weights over ``taps`` source lines starting at ``origin``.
-
-    Reproduces ops/roi.py::interp_weights restricted to
-    [origin, origin+taps): u_o = (o+.5)*extent/out_n - .5 + start, clipped
-    to [0, lim-1]; weight on tap t = max(0, 1-|u_o - (origin+t)|).
-    Returns (out_n, taps), or (taps, out_n) when ``transpose`` (tpu.iota is
-    integer-only, hence the int32 build).
-    """
-    shape = (taps, out_n) if transpose else (out_n, taps)
-    o_dim, t_dim = (1, 0) if transpose else (0, 1)
-    o = jax.lax.broadcasted_iota(jnp.int32, shape, o_dim).astype(jnp.float32)
-    t = jax.lax.broadcasted_iota(jnp.int32, shape, t_dim).astype(jnp.float32)
-    u = (o + 0.5) * (extent / out_n) - 0.5 + start
-    u = jnp.clip(u, 0.0, lim - 1.0)
-    return jnp.maximum(0.0, 1.0 - jnp.abs(u - (origin + t)))
-
-
-def _make_kernel(n_levels: int, d: int, out_n: int, c: int):
+def _make_kernel(n_levels: int, d: int, out_n: int, c: int, compute_dtype):
     """Paired-ROI kernel: each loop iteration crops TWO boxes.
 
     Per-ROI dependent-op latency (sem wait -> cast -> dot -> dot -> store)
@@ -164,7 +146,7 @@ def _make_kernel(n_levels: int, d: int, out_n: int, c: int):
                 o_half == t_half,
                 jnp.maximum(0.0, 1.0 - jnp.abs(u - tap)),
                 0.0,
-            ).astype(jnp.bfloat16)
+            ).astype(compute_dtype)
 
             # column-concatenated x weights (_WIN_C, 2*out)
             tr = jax.lax.broadcasted_iota(jnp.int32, (_WIN_C, 2 * out_n), 0)
@@ -181,7 +163,7 @@ def _make_kernel(n_levels: int, d: int, out_n: int, c: int):
                 jnp.float32
             )
             wxt = jnp.maximum(0.0, 1.0 - jnp.abs(ux - tapx)).astype(
-                jnp.bfloat16
+                compute_dtype
             )
 
             va = valid_ref[0, 0, 2 * j2]
@@ -193,11 +175,11 @@ def _make_kernel(n_levels: int, d: int, out_n: int, c: int):
                     win_buf[slot, ch]
                     .astype(jnp.int32)
                     .astype(jnp.float32)
-                    .astype(jnp.bfloat16)
+                    .astype(compute_dtype)
                 )  # (2*_WIN_R, _WIN_C)
                 t = jnp.dot(
                     wy, slab, preferred_element_type=jnp.float32
-                ).astype(jnp.bfloat16)  # (2*out, _WIN_C)
+                ).astype(compute_dtype)  # (2*out, _WIN_C)
                 res = jnp.dot(
                     t, wxt, preferred_element_type=jnp.float32
                 )  # (2*out, 2*out); off-diagonal quadrants discarded
@@ -221,13 +203,14 @@ def _pad_level(lvl: jnp.ndarray) -> jnp.ndarray:
     return lvl
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
 def pallas_crop_and_resize(
     images: jnp.ndarray,
     boxes: jnp.ndarray,
     valid: jnp.ndarray,
     out_size: int = 64,
     interpret: bool = False,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
 ) -> jnp.ndarray:
     """Windowed ROI crop via the Pallas kernel.
 
@@ -238,6 +221,9 @@ def pallas_crop_and_resize(
     """
     b, h, w, c = (int(s) for s in images.shape)
     d_in = int(boxes.shape[1])
+    if d_in == 0:  # empty ROI budget: nothing to crop (and the kernel's
+        # prologue DMA would index an empty SMEM buffer)
+        return jnp.zeros((b, 0, out_size, out_size, c), jnp.float32)
     if d_in % 2:  # the kernel processes ROI pairs; pad with an invalid slot
         boxes = jnp.pad(boxes, ((0, 0), (0, 1), (0, 0)))
         valid = jnp.pad(valid, ((0, 0), (0, 1)))
@@ -299,7 +285,7 @@ def pallas_crop_and_resize(
         (1, 1, d), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
     )
     out = pl.pallas_call(
-        _make_kernel(n_levels, d, out_size, c),
+        _make_kernel(n_levels, d, out_size, c, compute_dtype),
         grid=(b,),
         in_specs=[smem() for _ in range(10)]
         + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_levels)],

@@ -167,7 +167,9 @@ def crop_and_resize_windowed(
     Returns (B, D, out_size, out_size, 3) float32, zeroed at invalid slots.
     """
     h, w = int(images.shape[1]), int(images.shape[2])
-    if min(h, w) <= window:  # tiny frames: dense is already cheap and exact
+    # window<=0 (the "dense" config sentinel) or tiny frames: the dense
+    # path is already cheap and exact
+    if window <= 0 or min(h, w) <= window:
         return crop_and_resize(images, boxes, valid, out_size, compute_dtype)
 
     # pyramid levels 4^k until a level fits inside the window

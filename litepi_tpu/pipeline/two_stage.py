@@ -241,13 +241,15 @@ class TwoStagePipeline:
             from litepi_tpu.ops.pallas_roi import pallas_crop_and_resize
 
             # interpreter mode off-TPU so the same config is testable on
-            # the CPU suite (Mosaic kernels only compile for real TPUs)
+            # the CPU suite (Mosaic kernels only compile for real TPUs);
+            # the kernel computes in the pipeline's dtype like the others
             crops = pallas_crop_and_resize(
                 frames,
                 orig_boxes,
                 v,
                 cfg.cls_input_size,
                 jax.default_backend() != "tpu",
+                self.det_model.dtype,
             )
         elif cfg.roi_impl == "windowed":
             crops = crop_and_resize_windowed(

@@ -123,3 +123,9 @@ def test_fused_pipeline_pallas_roi_path():
     np.testing.assert_allclose(
         np.asarray(out["boxes"]), np.asarray(dense["boxes"]), atol=1e-5
     )
+    # with the pipeline dtype threaded into the kernel (f32 here), the
+    # classifier inputs — and so the probabilities — must agree too
+    np.testing.assert_allclose(
+        np.asarray(out["cls_probs"]), np.asarray(dense["cls_probs"]),
+        atol=1e-4,
+    )

@@ -131,3 +131,15 @@ def test_windowed_uint8_input():
     b = np.asarray(crop_and_resize_windowed(img.astype(np.float32), boxes,
                                             valid, 64, np.float32, 128))
     np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_windowed_zero_window_falls_back_to_dense():
+    """roi_window=0 is the dense sentinel — must NOT produce zero crops
+    (regression: the pyramid loop used to run away and emit empties)."""
+    img = np.full((1, 640, 640, 3), 7.0, np.float32)
+    boxes = np.array([[[5.0, 5.0, 70.0, 70.0]]], np.float32)
+    got = np.asarray(
+        crop_and_resize_windowed(img, boxes, np.ones((1, 1), bool), 16,
+                                 np.float32, 0)
+    )
+    np.testing.assert_allclose(got[0, 0], 7.0, atol=1e-4)

@@ -80,3 +80,25 @@ def test_border_and_degenerate_boxes():
     np.testing.assert_array_equal(
         _kernel(img, boxes, valid), _dense(img, boxes, valid)
     )
+
+
+def test_zero_roi_budget_returns_empty():
+    img = np.zeros((1, 640, 640, 3), np.uint8)
+    boxes = np.zeros((1, 0, 4), np.float32)
+    valid = np.zeros((1, 0), bool)
+    got = np.asarray(pallas_crop_and_resize(img, boxes, valid, 64, True))
+    assert got.shape == (1, 0, 64, 64, 3)
+
+
+def test_float32_compute_dtype():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, size=(1, 640, 640, 3), dtype=np.uint8)
+    boxes = np.array([[[10.0, 10.0, 90.0, 90.0]]], np.float32)
+    valid = np.ones((1, 1), bool)
+    got = np.asarray(
+        pallas_crop_and_resize(img, boxes, valid, 64, True, jnp.float32)
+    )
+    ref = np.asarray(
+        crop_and_resize(img, boxes, valid, 64, jnp.float32)
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-3)
