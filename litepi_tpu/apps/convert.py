@@ -58,23 +58,21 @@ def main(argv=None) -> int:
     from litepi_tpu.weights.checkpoint import save_checkpoint
 
     is_detector = args.arch in DETECTOR_ARCHS
+    cfg = None
+    if is_detector:
+        from litepi_tpu.core.types import YOLO_PLUS_V1, YOLO_PLUS_V2, YOLOV8N
+
+        cfg = {
+            "yolo_plus_v2": YOLO_PLUS_V2,
+            "yolo_plus_v1": YOLO_PLUS_V1,
+            "yolov8n": YOLOV8N,
+        }[args.arch]
 
     # ---- read + convert ------------------------------------------------ #
     if args.input.endswith(".onnx"):
         if is_detector:
             from litepi_tpu.weights.onnx_import import convert_detector_onnx
 
-            from litepi_tpu.core.types import (
-                YOLO_PLUS_V1,
-                YOLO_PLUS_V2,
-                YOLOV8N,
-            )
-
-            cfg = {
-                "yolo_plus_v2": YOLO_PLUS_V2,
-                "yolo_plus_v1": YOLO_PLUS_V1,
-                "yolov8n": YOLOV8N,
-            }[args.arch]
             variables = convert_detector_onnx(args.input, cfg.depths)
         else:
             from litepi_tpu.weights.onnx_import import convert_classifier_onnx
@@ -89,17 +87,6 @@ def main(argv=None) -> int:
 
         sd = load_torch_state_dict(args.input)
         if is_detector:
-            from litepi_tpu.core.types import (
-                YOLO_PLUS_V1,
-                YOLO_PLUS_V2,
-                YOLOV8N,
-            )
-
-            cfg = {
-                "yolo_plus_v2": YOLO_PLUS_V2,
-                "yolo_plus_v1": YOLO_PLUS_V1,
-                "yolov8n": YOLOV8N,
-            }[args.arch]
             variables = convert_detector_state_dict(sd, cfg.depths)
         else:
             variables = convert_classifier_state_dict(args.arch, sd)

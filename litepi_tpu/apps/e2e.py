@@ -200,6 +200,7 @@ def main(argv=None) -> int:
     from litepi_tpu.models.init_utils import fast_init
 
     candidate_decoder = None
+    candidate_capacity = None
     if args.detector_variant == "yolov11n":
         from litepi_tpu.models.yolov11 import YoloV11
 
@@ -219,6 +220,8 @@ def main(argv=None) -> int:
         def candidate_decoder(out, k, _g=g, _s=s, _a=a):
             return v5_candidates(out["pred"], _g, _s, _a, k)
 
+        # anchor-based v5 emits 3 priors per cell: 3x the anchor-free grid
+        candidate_capacity = int(g.shape[0])
     else:
         det_model = YoloLitePi(cfg.detector, dtype=dtype)
     if args.detector and args.detector != "random":
@@ -244,6 +247,7 @@ def main(argv=None) -> int:
         dtype=dtype,
         det_model=det_model,
         candidate_decoder=candidate_decoder,
+        candidate_capacity=candidate_capacity,
     )
     class_names = load_class_names(args.classes)
 

@@ -133,8 +133,15 @@ def main(argv=None) -> int:
     best_val, best_epoch, start_epoch = float("inf"), -1, 0
     os.makedirs(args.output, exist_ok=True)
     resume_dir = os.path.join(args.output, "resume")
-    if args.resume and os.path.isdir(resume_dir):
-        state, meta = load_train_checkpoint(resume_dir, state)
+    if args.resume and (
+        os.path.isdir(resume_dir) or os.path.isdir(resume_dir + ".old")
+    ):
+        state, meta = load_train_checkpoint(
+            resume_dir,
+            state,
+            meta_template={"next_epoch": 0, "best_score": 0.0,
+                           "best_epoch": 0},
+        )
         # orbax restores host-committed arrays; re-pin to the accelerator
         state = jax.device_put(state, jax.devices()[0])
         start_epoch = int(meta["next_epoch"])

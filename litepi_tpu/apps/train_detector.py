@@ -106,6 +106,7 @@ def main(argv=None) -> int:
         scale=args.scale,
         seed=args.seed,
     )
+    global_images = len(dataset.pairs)
     if jax.process_count() > 1:
         # multi-host: each process decodes a disjoint shard; --batch is the
         # per-process size (global batch = batch * process_count)
@@ -116,7 +117,13 @@ def main(argv=None) -> int:
             f"process {jax.process_index()}/{jax.process_count()}: "
             f"{len(dataset.pairs)} local images"
         )
-    steps = args.steps_per_epoch or max(len(dataset) // args.batch, 1)
+    # steps/epoch MUST be computed from the GLOBAL image count: local shard
+    # lengths differ by up to one image across processes, and a per-process
+    # step count would desynchronise the SPMD collectives (one process
+    # dispatching a step the others never join) and the LR schedule
+    steps = args.steps_per_epoch or max(
+        global_images // (args.batch * jax.process_count()), 1
+    )
     print(f"dataset: {len(dataset)} images, {steps} steps/epoch")
 
     # Ultralytics one-cycle lr: 3-epoch linear warmup, cosine to lr*0.01
@@ -218,8 +225,15 @@ def main(argv=None) -> int:
     best_map, best_epoch, start_epoch = float("-inf"), -1, 0
     os.makedirs(args.output, exist_ok=True)
     resume_dir = os.path.join(args.output, "resume")
-    if args.resume and os.path.isdir(resume_dir):
-        state, meta = load_train_checkpoint(resume_dir, state)
+    if args.resume and (
+        os.path.isdir(resume_dir) or os.path.isdir(resume_dir + ".old")
+    ):
+        state, meta = load_train_checkpoint(
+            resume_dir,
+            state,
+            meta_template={"next_epoch": 0, "best_score": 0.0,
+                           "best_epoch": 0},
+        )
         # orbax restores host-committed arrays; re-pin to the accelerator
         # (mixing them with device-placed batches is a jit device error)
         if mesh is not None:

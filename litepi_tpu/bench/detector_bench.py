@@ -377,14 +377,27 @@ def evaluate_detector(
     )
     import os
 
+    from litepi_tpu.ops.letterbox import letterbox_host
+
     paths = sample_images(images_dir, max_images, seed=seed)
     all_preds, all_gts = [], []
     for p in paths:
         img = cv2.imread(p)
         if img is None:
             continue
+        # fixed-shape canvas BEFORE the jitted programs: feeding raw frames
+        # would recompile the device pre once per distinct source
+        # resolution (up to one compile per image on mixed datasets)
+        if h.geometry == "letterbox":
+            canvas, _, _ = letterbox_host(img, h.input_size)
+        else:
+            canvas = cv2.resize(
+                img, (h.input_size, h.input_size),
+                interpolation=cv2.INTER_LINEAR,
+            )
         b, s, c, v = (
-            np.asarray(x) for x in jax.block_until_ready(h.predict(img[None]))
+            np.asarray(x)
+            for x in jax.block_until_ready(h.predict(canvas[None]))
         )
         keep = v[0]
         boxes = h.unmap_boxes(b[0][keep], img.shape[1], img.shape[0])

@@ -139,14 +139,18 @@ class OptimizationExperiment:
 
         paths = sample_images(images_dir, max_images, seed=42)
         frames, gts, shape = [], [], None
+        unreadable = mixed_res = 0
         for p in paths:
             img = cv2.imread(p)
             if img is None:
+                unreadable += 1
                 continue
             if shape is None:
                 shape = img.shape
             elif img.shape != shape:
-                continue  # fused program needs one resolution per batch
+                # fused program needs one resolution per batch
+                mixed_res += 1
+                continue
             frames.append(img)
             if labels_dir:
                 lp = os.path.join(
@@ -161,6 +165,13 @@ class OptimizationExperiment:
                 )
         if not frames:
             raise ValueError(f"no readable images in {images_dir}")
+        if unreadable or mixed_res:
+            # no silent caps: the accuracy sample must be an announced set
+            print(
+                f"ladder dataset: kept {len(frames)}/{len(paths)} images "
+                f"({unreadable} unreadable, {mixed_res} dropped for "
+                f"resolution != {shape[1]}x{shape[0]})"
+            )
         self._frames = np.stack(frames)
         self._gts = gts
         return len(frames)
@@ -260,7 +271,12 @@ class OptimizationExperiment:
                         np.zeros(len(res["boxes"]), np.int64),
                     )
                 )
-        acc = evaluate_predictions_reference(preds, gts, num_classes=1)
+        # class count from the labels themselves: the flagship detector is
+        # 1-class, but loaded YOLO label dirs may carry any id range
+        nc = 1 + max(
+            (int(c.max()) for _, c in gts if len(c)), default=0
+        )
+        acc = evaluate_predictions_reference(preds, gts, num_classes=nc)
 
         stats = percentile_summary(lat)
         stats["fps"] = spec.batch / (stats["mean"] / 1e3)

@@ -58,6 +58,7 @@ class TwoStagePipeline:
         dtype: jnp.dtype = jnp.float32,
         det_model: Any = None,
         candidate_decoder: Any = None,
+        candidate_capacity: Optional[int] = None,
     ) -> None:
         self.cfg = cfg
         # any detector with the {reg, cls} output contract plugs in
@@ -94,6 +95,16 @@ class TwoStagePipeline:
         pts, strides = make_anchors(cfg.det_input_size, cfg.detector.strides)
         self._anchors = jnp.asarray(pts)
         self._strides = jnp.asarray(strides)
+        # the "unbounded" eval pass (eval_max_candidates=0) means ALL of the
+        # model's predictions; for candidate_decoder models the count
+        # differs from the anchor-free grid (e.g. anchor-based YOLOv5 emits
+        # 3x more), so the decoder's capacity must be declared explicitly —
+        # clamping to the anchor-free 8400 would silently clip its PR tail
+        self._candidate_capacity = int(
+            candidate_capacity
+            if candidate_capacity is not None
+            else self._anchors.shape[0]
+        )
         self._mean = jnp.asarray(cfg.cls_mean, jnp.float32)
         self._std = jnp.asarray(cfg.cls_std, jnp.float32)
 
@@ -163,8 +174,8 @@ class TwoStagePipeline:
         budget, 0 meaning the full anchor set).
         """
         k = max_candidates or self.cfg.nms.eval_max_candidates
-        n_anchors = int(self._anchors.shape[0])
-        k = min(k, n_anchors) if k else n_anchors
+        cap = self._candidate_capacity
+        k = min(k, cap) if k else cap
         return self._detect_jit(self.det_vars, canvas01, k)
 
     @functools.partial(jax.jit, static_argnums=(0, 5))

@@ -15,9 +15,16 @@ import jax
 
 
 def save_checkpoint(path: str, variables: Any) -> None:
-    """Save a pytree of arrays to ``path`` (a directory)."""
+    """Save a pytree of arrays to ``path`` (a directory).
+
+    Multi-host: only process 0 writes.  The trained state is replicated, so
+    one host's copy is complete; concurrent writers racing force-deletes of
+    the same directory corrupt the checkpoint.
+    """
     import orbax.checkpoint as ocp
 
+    if jax.process_index() != 0:
+        return
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, variables, force=True)
@@ -50,21 +57,58 @@ def save_train_checkpoint(path: str, state: Any, meta: dict) -> None:
     """
     import numpy as np
 
+    import shutil
+
     meta_arrays = {k: np.asarray(v) for k, v in meta.items()}
-    save_checkpoint(path, {"state": jax.device_get(state), "meta": meta_arrays})
+    payload = {"state": jax.device_get(state), "meta": meta_arrays}
+    if jax.process_index() != 0:
+        return
+    # crash-safe swap: the previous resume point must survive until the new
+    # one is fully written (a force-overwrite deletes it FIRST, so a
+    # preemption mid-save would destroy the only resume point — the exact
+    # event resume exists for)
+    path = os.path.abspath(path)
+    new, old = path + ".new", path + ".old"
+    for stale in (new, old):
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
+    save_checkpoint(new, payload)
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(new, path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
 
 
-def load_train_checkpoint(path: str, like_state: Any) -> tuple:
+def load_train_checkpoint(
+    path: str, like_state: Any, meta_template: dict = None
+) -> tuple:
     """Restore (state, meta) saved by :func:`save_train_checkpoint`.
 
     ``like_state`` is a freshly constructed train state of the same topology
     (same model/optimizer config) — it anchors pytree structure and dtypes so
     the restore returns the typed dataclass, not a raw dict.
+    ``meta_template`` (e.g. ``{"next_epoch": 0, "best_score": 0.0}``) lets
+    the restore happen in ONE pass; without it the checkpoint is read twice
+    (once untyped just to learn meta's keys).  If ``path`` is missing but a
+    ``path + ".old"`` swap leftover exists (preemption between the renames
+    of :func:`save_train_checkpoint`), that previous epoch is restored.
     """
     import numpy as np
 
-    restored = load_checkpoint(path)
-    tpl = {"state": like_state, "meta": restored["meta"]}
-    typed = load_checkpoint(path, like=tpl)
+    if not os.path.isdir(os.path.abspath(path)) and os.path.isdir(
+        os.path.abspath(path) + ".old"
+    ):
+        path = path + ".old"
+    if meta_template is not None:
+        tpl = {
+            "state": like_state,
+            "meta": {k: np.asarray(v) for k, v in meta_template.items()},
+        }
+        typed = load_checkpoint(path, like=tpl)
+    else:
+        restored = load_checkpoint(path)
+        tpl = {"state": like_state, "meta": restored["meta"]}
+        typed = load_checkpoint(path, like=tpl)
     meta = {k: np.asarray(v).item() for k, v in typed["meta"].items()}
     return typed["state"], meta

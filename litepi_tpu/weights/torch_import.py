@@ -34,7 +34,13 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 
     try:
         obj = torch.load(path, map_location="cpu", weights_only=True)
+    except FileNotFoundError:
+        raise
     except Exception:
+        # not a plain-tensor pickle: fall back to the CONTAINER loader,
+        # whose unpickler only resolves an allowlist of modules (see
+        # _LenientUnpickler) — the fallback never re-enables arbitrary
+        # pickle execution
         return load_ultralytics_container(path)
     state = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
     out = {
@@ -97,12 +103,28 @@ def load_ultralytics_container(path: str) -> Dict[str, np.ndarray]:
 
     import torch
 
+    # Only these module trees may resolve to REAL classes during
+    # unpickling; everything else — importable or not — becomes an inert
+    # stub.  Without the allowlist a crafted 'weights' file could resolve
+    # e.g. os.system or builtins.exec and pickle REDUCE would execute it.
+    safe_prefixes = ("torch", "numpy", "collections")
+    safe_builtins = {
+        "set", "frozenset", "list", "dict", "tuple", "complex",
+        "bytearray", "bytes", "slice", "range",
+    }
+
     class _LenientUnpickler(pickle.Unpickler):
         def find_class(self, module, name):  # noqa: D102
-            try:
-                return super().find_class(module, name)
-            except (ImportError, AttributeError):
-                return type(name, (_StubModule,), {"__module__": module})
+            root = module.split(".")[0]
+            allowed = root in safe_prefixes or (
+                root in ("builtins", "__builtin__") and name in safe_builtins
+            )
+            if allowed:
+                try:
+                    return super().find_class(module, name)
+                except (ImportError, AttributeError):
+                    pass
+            return type(name, (_StubModule,), {"__module__": module})
 
     pickle_module = types.SimpleNamespace(
         Unpickler=_LenientUnpickler, load=None, __name__="lenient_pickle"

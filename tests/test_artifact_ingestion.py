@@ -353,3 +353,55 @@ def test_convert_cli_detector_pt_and_onnx(tmp_path):
     np.testing.assert_allclose(
         np.asarray(a["cls"]), np.asarray(b["cls"]), atol=3e-2, rtol=3e-2
     )
+
+
+def test_lenient_unpickler_refuses_arbitrary_callables(tmp_path):
+    """A crafted 'weights' pickle must NOT execute importable callables
+    (os.system etc.) — the lenient loader stubs everything outside the
+    torch/numpy/collections allowlist."""
+    import pickle
+
+    from litepi_tpu.weights.torch_import import load_ultralytics_container
+
+    marker = tmp_path / "pwned"
+
+    class Evil:
+        def __reduce__(self):
+            import os
+
+            return (os.system, (f"touch {marker}",))
+
+    path = tmp_path / "evil.pt"
+    with open(path, "wb") as f:
+        pickle.dump({"model": Evil()}, f)
+    try:
+        load_ultralytics_container(str(path))
+    except Exception:
+        pass  # refusing loudly is fine; executing is not
+    assert not marker.exists(), "malicious pickle payload was executed"
+
+
+def test_train_checkpoint_swap_survives_partial_rename(tmp_path):
+    """Preemption between the resume-swap renames must leave a restorable
+    checkpoint (the .old fallback)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from litepi_tpu.weights.checkpoint import (
+        load_train_checkpoint,
+        save_train_checkpoint,
+    )
+
+    state = {"w": jnp.arange(4.0)}
+    path = str(tmp_path / "resume")
+    save_train_checkpoint(path, state, {"next_epoch": 3, "best_score": 0.5,
+                                        "best_epoch": 1})
+    # simulate a crash after `rename path -> path.old` but before the new
+    # checkpoint took its place
+    os.rename(path, path + ".old")
+    restored, meta = load_train_checkpoint(
+        path, state,
+        meta_template={"next_epoch": 0, "best_score": 0.0, "best_epoch": 0},
+    )
+    assert meta["next_epoch"] == 3 and float(restored["w"][3]) == 3.0
