@@ -203,7 +203,11 @@ def main(argv=None) -> int:
                     args.val_labels,
                     os.path.splitext(os.path.basename(path))[0] + ".txt",
                 )
-                gts.append(parse_yolo_label(lbl, w, h))
+                gb, gc = parse_yolo_label(lbl, w, h)
+                # detection-level eval: both sides class 0 ("sign") — the
+                # detector is single-class; leaving multi-class GT ids
+                # unmapped would zero the AP of every non-0 class
+                gts.append((gb, np.zeros_like(gc)))
                 if res is None:
                     preds.append(
                         (np.zeros((0, 4), np.float32), np.zeros(0), np.zeros(0, np.int32))
@@ -217,7 +221,7 @@ def main(argv=None) -> int:
                             np.zeros(len(res["boxes"]), np.int32),
                         )
                     )
-        m = evaluate_predictions(preds, gts, num_classes=args.num_classes)
+        m = evaluate_predictions(preds, gts, num_classes=1)
         return m["mAP50"]
 
     # -------------------- train loop ---------------------------------- #

@@ -227,8 +227,17 @@ class CropClassificationDataset:
         while steps is None or step < steps:
             if shuffle:
                 self.rng.shuffle(order)
-            for start in range(0, len(order) - batch_size + 1, batch_size):
-                idxs = order[start : start + batch_size]
+            # datasets smaller than one batch wrap around (otherwise the
+            # epoch yields nothing and the loop spins forever)
+            if len(order) < batch_size:
+                reps = -(-batch_size // len(order))
+                epoch_order = np.tile(order, reps)[:batch_size]
+                starts = [0]
+            else:
+                epoch_order = order
+                starts = range(0, len(order) - batch_size + 1, batch_size)
+            for start in starts:
+                idxs = epoch_order[start : start + batch_size]
                 imgs = np.zeros(
                     (batch_size, self.input_size, self.input_size, 3), np.float32
                 )

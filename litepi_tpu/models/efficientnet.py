@@ -32,7 +32,7 @@ class _ConvBNSiLU(nn.Module):
             name="conv",
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-3,
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="bn",
         )(x)
         return nn.silu(x) if self.act else x

@@ -34,12 +34,18 @@ def _cv2_load_batch(paths: Sequence[str], out_size: int):
     must share one resolution per batch for the fused program)."""
     import cv2
 
-    frames = []
-    for p in paths:
-        img = cv2.imread(p)
-        if img is None:
-            img = np.full((out_size, out_size, 3), 114, np.uint8)
-        frames.append(img)
+    frames = [cv2.imread(p) for p in paths]
+    # unreadable frames become grey placeholders MATCHING the batch's real
+    # resolution — an (out_size, out_size) stand-in would break np.stack
+    # for any source resolution other than exactly out_size square
+    ref_shape = next(
+        (f.shape for f in frames if f is not None),
+        (out_size, out_size, 3),
+    )
+    frames = [
+        f if f is not None else np.full(ref_shape, 114, np.uint8)
+        for f in frames
+    ]
     return np.stack(frames)
 
 

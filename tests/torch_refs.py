@@ -220,7 +220,7 @@ class ConvBNSiLUT(nn.Sequential):
     def __init__(self, inp, out, k=3, stride=1, groups=1, act=True):
         layers = [
             nn.Conv2d(inp, out, k, stride, k // 2, groups=groups, bias=False),
-            nn.BatchNorm2d(out, eps=1e-3),
+            nn.BatchNorm2d(out),  # torchvision b0: default eps 1e-5
         ]
         if act:
             layers.append(nn.SiLU(inplace=True))
