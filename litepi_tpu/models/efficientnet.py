@@ -17,24 +17,28 @@ class _ConvBNSiLU(nn.Module):
     groups: int = 1
     act: bool = True
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False  # deploy form: biased conv, BN pre-folded
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         pad = self.kernel // 2
+        if self.fused and train:
+            raise ValueError("fused ConvBN has no batch stats to train")
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
             padding=((pad, pad), (pad, pad)),
             feature_group_count=self.groups,
-            use_bias=False,
+            use_bias=self.fused,
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name="bn",
-        )(x)
+        if not self.fused:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name="bn",
+            )(x)
         return nn.silu(x) if self.act else x
 
 
@@ -57,22 +61,25 @@ class MBConv(nn.Module):
     stride: int
     expand: int
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         c_in = x.shape[-1]
         hidden = c_in * self.expand
+        fu = self.fused
         y = x
         if self.expand != 1:
-            y = _ConvBNSiLU(hidden, 1, dtype=self.dtype, name="pw")(y, train)
+            y = _ConvBNSiLU(hidden, 1, dtype=self.dtype, fused=fu, name="pw")(y, train)
         y = _ConvBNSiLU(
             hidden, self.kernel, self.stride, groups=hidden,
-            dtype=self.dtype, name="dw",
+            dtype=self.dtype, fused=fu, name="dw",
         )(y, train)
         # SE squeeze width derives from the block *input* channels (÷4)
         y = SqueezeExcite(max(1, c_in // 4), dtype=self.dtype, name="se")(y)
         y = _ConvBNSiLU(
-            self.features, 1, act=False, dtype=self.dtype, name="pw_linear"
+            self.features, 1, act=False, dtype=self.dtype, fused=fu,
+            name="pw_linear"
         )(y, train)
         if self.stride == 1 and c_in == self.features:
             # stochastic depth is identity at inference; training uses dropout
@@ -95,20 +102,22 @@ _B0_SETTINGS: Tuple[Tuple[int, int, int, int, int], ...] = (
 class EfficientNetB0(nn.Module):
     num_classes: int
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        dt = self.dtype
+        dt, fu = self.dtype, self.fused
         x = x.astype(dt)
-        x = _ConvBNSiLU(32, 3, 2, dtype=dt, name="stem")(x, train)
+        x = _ConvBNSiLU(32, 3, 2, dtype=dt, fused=fu, name="stem")(x, train)
         idx = 0
         for t, c, n, s, k in _B0_SETTINGS:
             for i in range(n):
                 x = MBConv(
-                    c, k, s if i == 0 else 1, t, dtype=dt, name=f"block{idx}"
+                    c, k, s if i == 0 else 1, t, dtype=dt, fused=fu,
+                    name=f"block{idx}"
                 )(x, train)
                 idx += 1
-        x = _ConvBNSiLU(1280, 1, dtype=dt, name="head_conv")(x, train)
+        x = _ConvBNSiLU(1280, 1, dtype=dt, fused=fu, name="head_conv")(x, train)
         x = jnp.mean(x, axis=(1, 2))
         x = nn.Dropout(0.2, deterministic=not train)(x)
         return nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(

@@ -24,24 +24,28 @@ class _ConvBNReLU6(nn.Module):
     groups: int = 1
     act: bool = True
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False  # deploy form: biased conv, BN pre-folded
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         pad = self.kernel // 2
+        if self.fused and train:
+            raise ValueError("fused ConvBN has no batch stats to train")
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
             padding=((pad, pad), (pad, pad)),
             feature_group_count=self.groups,
-            use_bias=False,
+            use_bias=self.fused,
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name="bn",
-        )(x)
+        if not self.fused:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name="bn",
+            )(x)
         return jnp.clip(x, 0.0, 6.0) if self.act else x
 
 
@@ -50,19 +54,23 @@ class InvertedResidualV2(nn.Module):
     stride: int
     expand: int
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         c_in = x.shape[-1]
         hidden = c_in * self.expand
+        fu = self.fused
         y = x
         if self.expand != 1:
-            y = _ConvBNReLU6(hidden, 1, dtype=self.dtype, name="pw")(y, train)
+            y = _ConvBNReLU6(hidden, 1, dtype=self.dtype, fused=fu, name="pw")(y, train)
         y = _ConvBNReLU6(
-            hidden, 3, self.stride, groups=hidden, dtype=self.dtype, name="dw"
+            hidden, 3, self.stride, groups=hidden, dtype=self.dtype,
+            fused=fu, name="dw"
         )(y, train)
         y = _ConvBNReLU6(
-            self.features, 1, act=False, dtype=self.dtype, name="pw_linear"
+            self.features, 1, act=False, dtype=self.dtype, fused=fu,
+            name="pw_linear"
         )(y, train)
         if self.stride == 1 and c_in == self.features:
             y = x + y
@@ -85,23 +93,25 @@ class MobileNetV2(nn.Module):
     num_classes: int
     width_mult: float = 1.0
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        dt = self.dtype
+        dt, fu = self.dtype, self.fused
         x = x.astype(dt)
         c = _make_divisible(32 * self.width_mult)
-        x = _ConvBNReLU6(c, 3, 2, dtype=dt, name="stem")(x, train)
+        x = _ConvBNReLU6(c, 3, 2, dtype=dt, fused=fu, name="stem")(x, train)
         idx = 0
         for t, ch, n, s in _V2_SETTINGS:
             out_c = _make_divisible(ch * self.width_mult)
             for i in range(n):
                 x = InvertedResidualV2(
-                    out_c, s if i == 0 else 1, t, dtype=dt, name=f"block{idx}"
+                    out_c, s if i == 0 else 1, t, dtype=dt, fused=fu,
+                    name=f"block{idx}"
                 )(x, train)
                 idx += 1
         last = _make_divisible(1280 * max(1.0, self.width_mult))
-        x = _ConvBNReLU6(last, 1, dtype=dt, name="head_conv")(x, train)
+        x = _ConvBNReLU6(last, 1, dtype=dt, fused=fu, name="head_conv")(x, train)
         x = jnp.mean(x, axis=(1, 2))
         x = nn.Dropout(0.2, deterministic=not train)(x)
         return nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(

@@ -21,13 +21,25 @@ CLASSIFIER_REGISTRY: Dict[str, Callable[..., nn.Module]] = {
 }
 
 
+# all four classifiers use torchvision's BatchNorm2d default epsilon
+CLASSIFIER_BN_EPS = 1e-5
+
+
 def build_classifier(
-    arch: str, num_classes: int, dtype: jnp.dtype = jnp.float32
+    arch: str,
+    num_classes: int,
+    dtype: jnp.dtype = jnp.float32,
+    fused: bool = False,
 ) -> nn.Module:
-    """Instantiate a classifier by the reference's --clf_arch name."""
+    """Instantiate a classifier by the reference's --clf_arch name.
+
+    ``fused=True`` builds the deploy form (biased convs, BN pre-folded via
+    weights/fold_bn.py with eps CLASSIFIER_BN_EPS)."""
     if arch not in CLASSIFIER_REGISTRY:
         raise ValueError(
             f"unknown classifier arch {arch!r}; "
             f"choices: {sorted(CLASSIFIER_REGISTRY)}"
         )
-    return CLASSIFIER_REGISTRY[arch](num_classes=num_classes, dtype=dtype)
+    return CLASSIFIER_REGISTRY[arch](
+        num_classes=num_classes, dtype=dtype, fused=fused
+    )

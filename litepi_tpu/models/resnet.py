@@ -18,19 +18,24 @@ class _ConvBN(nn.Module):
     kernel: int
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False  # deploy form: biased conv, BN pre-folded
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         pad = self.kernel // 2
+        if self.fused and train:
+            raise ValueError("fused ConvBN has no batch stats to train")
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
             padding=((pad, pad), (pad, pad)),
-            use_bias=False,
+            use_bias=self.fused,
             dtype=self.dtype,
             name="conv",
         )(x)
+        if self.fused:
+            return x
         return nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
@@ -44,16 +49,18 @@ class BasicBlock(nn.Module):
     features: int
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         identity = x
-        y = _ConvBN(self.features, 3, self.stride, self.dtype, name="cb1")(x, train)
+        fu = self.fused
+        y = _ConvBN(self.features, 3, self.stride, self.dtype, fu, name="cb1")(x, train)
         y = nn.relu(y)
-        y = _ConvBN(self.features, 3, 1, self.dtype, name="cb2")(y, train)
+        y = _ConvBN(self.features, 3, 1, self.dtype, fu, name="cb2")(y, train)
         if self.stride != 1 or x.shape[-1] != self.features:
             identity = _ConvBN(
-                self.features, 1, self.stride, self.dtype, name="down"
+                self.features, 1, self.stride, self.dtype, fu, name="down"
             )(x, train)
         return nn.relu(y + identity)
 
@@ -119,19 +126,23 @@ class ResNet18(nn.Module):
     num_classes: int
     stage_sizes: Sequence[int] = (2, 2, 2, 2)
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        dt = self.dtype
+        dt, fu = self.dtype, self.fused
+        if fu and train:
+            raise ValueError("fused model has no batch stats to train")
         x = x.astype(dt)
         x = nn.Conv(
             64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-            use_bias=False, dtype=dt, name="conv1",
+            use_bias=fu, dtype=dt, name="conv1",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=dt, name="bn1",
-        )(x)
+        if not fu:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=dt, name="bn1",
+            )(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for stage, blocks in enumerate(self.stage_sizes):
@@ -139,7 +150,8 @@ class ResNet18(nn.Module):
             for i in range(blocks):
                 stride = 2 if (stage > 0 and i == 0) else 1
                 x = BasicBlock(
-                    features, stride, dtype=dt, name=f"layer{stage + 1}_{i}"
+                    features, stride, dtype=dt, fused=fu,
+                    name=f"layer{stage + 1}_{i}"
                 )(x, train)
         x = jnp.mean(x, axis=(1, 2))
         return nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(

@@ -84,11 +84,20 @@ class TwoStagePipeline:
         # measured 3x the whole fused step through the TPU relay (round 2).
         # (A bare device_put is a no-op for committed arrays — the target
         # must be explicit.)
+        from litepi_tpu.models.registry import CLASSIFIER_BN_EPS
+        from litepi_tpu.weights.fold_bn import fold_pipeline_vars
+
+        cls_vars, cls_fused = fold_pipeline_vars(
+            cls_vars, eps=CLASSIFIER_BN_EPS
+        )
         target = jax.devices()[0]
         det_vars = jax.device_put(det_vars, target)
         cls_vars = jax.device_put(cls_vars, target)
         self.cls_model = build_classifier(
-            cfg.classifier_arch, cfg.num_classifier_classes, dtype=dtype
+            cfg.classifier_arch,
+            cfg.num_classifier_classes,
+            dtype=dtype,
+            fused=cls_fused,
         )
         self.det_vars = det_vars
         self.cls_vars = cls_vars

@@ -45,29 +45,42 @@ def fold_batchnorm(
         return {"params": variables["params"]} if "params" in variables else variables
 
     def fold(params: Dict[str, Any], stats: Dict[str, Any]) -> Dict[str, Any]:
-        out: Dict[str, Any] = {}
+        out: Dict[str, Any] = dict(params)
         keys = set(params) | set(stats)
-        if "conv" in params and "bn" in params and "bn" in stats:
-            bn_p, bn_s = params["bn"], stats["bn"]
-            s = bn_p["scale"] / jnp.sqrt(bn_s["var"] + eps)
-            conv = dict(params["conv"])
-            # Flax conv kernels are (kh, kw, cin/groups, cout): scale cout
-            conv["kernel"] = conv["kernel"] * s
-            base = conv.get("bias", 0.0)
-            conv["bias"] = base + bn_p["bias"] - bn_s["mean"] * s
-            out = {k: v for k, v in params.items() if k not in ("conv", "bn")}
-            out["conv"] = conv
-            return out
+        # fold every (convX, bnX) sibling pair at this level: 'bn' pairs
+        # with 'conv' (the ConvBN blocks), 'bn1' with 'conv1' (ResNet18's
+        # torchvision-named stem), etc.
+        folded_bns = set()
+        for k in list(params):
+            if not k.startswith("bn"):
+                continue
+            conv_key = "conv" + k[2:]
+            bn_p, bn_s = params.get(k), stats.get(k)
+            if (
+                conv_key in params
+                and isinstance(bn_p, dict)
+                and isinstance(bn_s, dict)
+                and "scale" in bn_p
+                and "var" in bn_s
+            ):
+                s = bn_p["scale"] / jnp.sqrt(bn_s["var"] + eps)
+                conv = dict(params[conv_key])
+                # Flax conv kernels are (kh, kw, cin/groups, cout): scale cout
+                conv["kernel"] = conv["kernel"] * s
+                base = conv.get("bias", 0.0)
+                conv["bias"] = base + bn_p["bias"] - bn_s["mean"] * s
+                out[conv_key] = conv
+                del out[k]
+                folded_bns.add(k)
         for k in keys:
-            p, st = params.get(k), stats.get(k)
+            if k in folded_bns or k not in out and k not in stats:
+                continue
+            p, st = out.get(k), stats.get(k)
             if isinstance(p, dict) and isinstance(st, dict):
                 out[k] = fold(p, st)
-            elif p is not None:
-                out[k] = p
             # stats-only subtree (bn with no conv sibling at this level):
-            # leave for the recursion above to consume; a dangling one means
-            # a BN this transform cannot fold
-            elif isinstance(st, dict) and _contains_stats(st):
+            # a dangling one means a BN this transform cannot fold
+            elif p is None and isinstance(st, dict) and _contains_stats(st):
                 raise ValueError(
                     f"unfoldable BatchNorm at '{k}': no conv sibling"
                 )
@@ -81,13 +94,13 @@ def fold_batchnorm(
     return {"params": fold(variables["params"], variables["batch_stats"])}
 
 
-def fold_detector_pipeline_vars(
-    variables: Dict[str, Any],
+def fold_pipeline_vars(
+    variables: Dict[str, Any], eps: float = BN_EPS
 ) -> Tuple[Dict[str, Any], bool]:
     """Pipeline helper: fold when stats are present.  Returns
     ``(variables, fused)`` where ``fused`` says which model form to build."""
     if has_batchnorm(variables):
-        return fold_batchnorm(variables), True
+        return fold_batchnorm(variables, eps=eps), True
     # no stats: either already deploy-form (conv biases present) or a
     # BN-free model; the unfused module form still applies only if params
     # carry bn scale/bias — detect that
@@ -102,3 +115,10 @@ def fold_detector_pipeline_vars(
         # bn params without stats cannot run inference correctly anyway
         return variables, False
     return variables, True
+
+
+def fold_detector_pipeline_vars(
+    variables: Dict[str, Any],
+) -> Tuple[Dict[str, Any], bool]:
+    """Detector variant of :func:`fold_pipeline_vars` (ConvBN eps 1e-3)."""
+    return fold_pipeline_vars(variables, eps=BN_EPS)

@@ -129,3 +129,44 @@ def test_fused_pipeline_pallas_roi_path():
         np.asarray(out["cls_probs"]), np.asarray(dense["cls_probs"]),
         atol=1e-4,
     )
+
+
+def test_classifier_fold_exact_all_archs():
+    """Deploy-form classifiers equal their unfused inference forward."""
+    from litepi_tpu.models import build_classifier
+    from litepi_tpu.models.registry import CLASSIFIER_BN_EPS
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+    for arch in ("shufflenetv2", "resnet18", "mobilenetv2", "efficientnet"):
+        unfused = build_classifier(arch, 7)
+        fused = build_classifier(arch, 7, fused=True)
+        variables = unfused.init(jax.random.PRNGKey(0), x[:1])
+        # perturb running stats so the fold is non-trivial
+        variables = jax.tree_util.tree_map(
+            lambda a: a + 0.03 * np.random.default_rng(1)
+            .standard_normal(a.shape).astype(np.float32),
+            variables,
+        )
+        folded = fold_batchnorm(variables, eps=CLASSIFIER_BN_EPS)
+        assert not has_batchnorm(folded), arch
+        a = unfused.apply(variables, x, train=False)
+        b = fused.apply(folded, x, train=False)
+        np.testing.assert_allclose(
+            a, b, atol=5e-4, rtol=1e-3, err_msg=arch
+        )
+
+
+def test_pipeline_folds_classifier_too():
+    from litepi_tpu.pipeline import TwoStagePipeline
+
+    cfg = PipelineConfig(
+        detector=DetectorConfig(name="tiny_cf", input_size=64),
+        det_input_size=64,
+        cls_input_size=32,
+    )
+    pipe = TwoStagePipeline.initialize(cfg, seed=0, dtype=jnp.float32)
+    assert pipe.cls_model.fused
+    assert "batch_stats" not in pipe.cls_vars
+    out = pipe.run_fused(np.zeros((1, 64, 64, 3), np.uint8), 0.5)
+    assert np.isfinite(np.asarray(out["cls_probs"])).all()
