@@ -222,6 +222,8 @@ class CropClassificationDataset:
     def batches(
         self, batch_size: int, steps: Optional[int] = None, shuffle: bool = True
     ) -> Iterator[Dict[str, np.ndarray]]:
+        if not len(self.samples):
+            raise ValueError("classification dataset is empty")
         order = np.arange(len(self.samples))
         step = 0
         while steps is None or step < steps:

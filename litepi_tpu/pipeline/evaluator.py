@@ -299,13 +299,21 @@ class PipelineEvaluator:
         import cv2
         import jax
 
+        if not batches:
+            return 0.0
         # decode in bounded windows: pre-decoding the WHOLE dataset held
         # every frame in host RAM at once (~12.6 GB for the reference's
-        # 1000-image 2048^2 subset); a window keeps decode out of the
-        # timed sections while bounding memory to ~window_batches batches
-        window_batches = max(1, (64 * 1024 * 1024) // max(
-            1, len(batches[0]) * 640 * 640 * 3
-        ))
+        # 1000-image 2048^2 subset).  Windows keep decode out of the timed
+        # sections and bound memory; WITHIN a window all device calls are
+        # still issued back-to-back and blocked once, so per-batch dispatch
+        # latency overlaps compute.  The window is sized from the ACTUAL
+        # first frame's bytes (a nominal 640^2 guess under-sizes it 10x on
+        # reference-resolution data and collapses windows to one batch).
+        probe = cv2.imread(batches[0][0])
+        frame_bytes = int(probe.nbytes) if probe is not None else 640 * 640 * 3
+        window_batches = max(
+            1, (512 * 1024 * 1024) // max(1, len(batches[0]) * frame_bytes)
+        )
         seen = set()
         total = 0
         dt = 0.0

@@ -67,13 +67,15 @@ def fold_batchnorm(
                 conv = dict(params[conv_key])
                 # Flax conv kernels are (kh, kw, cin/groups, cout): scale cout
                 conv["kernel"] = conv["kernel"] * s
+                # BN(conv(x)+b) = s*(conv(x)+b-mean)+beta: a pre-existing
+                # conv bias scales by s too
                 base = conv.get("bias", 0.0)
-                conv["bias"] = base + bn_p["bias"] - bn_s["mean"] * s
+                conv["bias"] = base * s + bn_p["bias"] - bn_s["mean"] * s
                 out[conv_key] = conv
                 del out[k]
                 folded_bns.add(k)
         for k in keys:
-            if k in folded_bns or k not in out and k not in stats:
+            if k in folded_bns:
                 continue
             p, st = out.get(k), stats.get(k)
             if isinstance(p, dict) and isinstance(st, dict):

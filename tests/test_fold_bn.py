@@ -170,3 +170,28 @@ def test_pipeline_folds_classifier_too():
     assert "batch_stats" not in pipe.cls_vars
     out = pipe.run_fused(np.zeros((1, 64, 64, 3), np.uint8), 0.5)
     assert np.isfinite(np.asarray(out["cls_probs"])).all()
+
+
+def test_fold_scales_preexisting_conv_bias():
+    """BN(conv(x)+b) = s*(conv(x)+b-mean)+beta: a conv bias present BEFORE
+    folding must scale by s (regression: it was added unscaled)."""
+    import numpy as np
+
+    k = np.ones((1, 1, 1, 2), np.float32)
+    b = np.asarray([10.0, -4.0], np.float32)
+    scale = np.asarray([2.0, 0.5], np.float32)
+    beta = np.asarray([1.0, 1.0], np.float32)
+    mean = np.asarray([3.0, 3.0], np.float32)
+    var = np.asarray([1.0 - 1e-3, 4.0 - 1e-3], np.float32)
+    variables = {
+        "params": {"blk": {"conv": {"kernel": k, "bias": b},
+                           "bn": {"scale": scale, "bias": beta}}},
+        "batch_stats": {"blk": {"bn": {"mean": mean, "var": var}}},
+    }
+    folded = fold_batchnorm(variables)  # eps 1e-3 -> sqrt(var+eps) = 1, 2
+    s = scale / np.sqrt(var + 1e-3)
+    expect = b * s + beta - mean * s
+    np.testing.assert_allclose(
+        np.asarray(folded["params"]["blk"]["conv"]["bias"]), expect,
+        rtol=1e-6,
+    )
