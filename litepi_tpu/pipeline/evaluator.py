@@ -290,11 +290,12 @@ class PipelineEvaluator:
     ) -> float:
         """Timed benchmark pass through the fused program.
 
-        Frames are pre-decoded (the reference times ``pipeline.run`` only,
-        not imread — e2e.py:973); one device call per batch, all calls
-        issued back-to-back and blocked once, so the number reflects
-        sustained device throughput the way the serving path runs.
-        Mixed-resolution batches fall back to the staged path.
+        Frames are pre-decoded in bounded memory windows (the reference
+        times ``pipeline.run`` only, not imread — e2e.py:973); within each
+        window one device call per batch, all issued back-to-back and
+        blocked once per window, so the number reflects sustained device
+        throughput the way the serving path runs.  Mixed-resolution batches
+        fall back to the staged path.
         """
         import cv2
         import jax
