@@ -104,7 +104,12 @@ def pallas_suppress(
 ) -> jnp.ndarray:
     """Greedy-NMS keep mask (B, K) bool via the Pallas kernel."""
     b, _, k = boxes_planar.shape
-    bi = min(_BLOCK_B, b)
+    # scoped VMEM holds ~2.5 live (BI, K, K) f32 tensors (overlap matrix +
+    # IoU temporaries): at the 16 MB limit, 8 images/instance OOMs for
+    # K >= 512 (measured 20.16 MB) — scale the block down with K^2,
+    # keeping 8 for the serving budgets (K <= 256)
+    vmem_images = max(1, (12 * 2**20) // (int(k) * int(k) * 10))
+    bi = min(_BLOCK_B, b, vmem_images)
     pad = (-b) % bi
     if pad:  # pad with all-invalid images so the grid divides evenly
         widths = ((0, pad), (0, 0), (0, 0))

@@ -78,3 +78,34 @@ def test_all_invalid_keeps_nothing():
     valid = np.zeros((1, K), bool)
     got = np.asarray(pallas_suppress(boxes, cls, valid, 0.45, True))
     assert not got.any()
+
+
+def test_large_candidate_budget_shrinks_block():
+    """K=512 must pick a small per-instance image block (8 images/block
+    OOMs the 16 MB scoped VMEM on real chips — measured 20.16 MB) and
+    still match the oracle in interpreter mode."""
+    import jax.numpy as jnp
+
+    from litepi_tpu.ops.nms import nms_numpy_reference
+    from litepi_tpu.ops.pallas_nms import pallas_suppress
+
+    rng = np.random.default_rng(5)
+    b, k = 3, 512
+    boxes = rng.uniform(0, 600, (b, k, 4)).astype(np.float32)
+    boxes[..., 2:] = boxes[..., :2] + rng.uniform(5, 60, (b, k, 2))
+    scores = np.sort(rng.random((b, k)).astype(np.float32))[:, ::-1].copy()
+    valid = scores > 0.3
+    keep = np.asarray(
+        pallas_suppress(
+            jnp.swapaxes(jnp.asarray(boxes), -1, -2),
+            jnp.zeros((b, 1, k), jnp.float32),
+            jnp.asarray(valid),
+            0.45,
+            interpret=True,
+        )
+    )
+    for i in range(b):
+        n = int(valid[i].sum())
+        ref = nms_numpy_reference(boxes[i, :n], scores[i, :n], 0.45)
+        got = np.where(keep[i, :n])[0]
+        np.testing.assert_array_equal(np.sort(ref), np.sort(got))
