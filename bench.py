@@ -45,6 +45,17 @@ def main() -> None:
         "--streaming-frames", type=int, default=256,
         help="frames for the decode-included streaming benchmark (0 = skip)",
     )
+    p.add_argument(
+        "--streaming-ram-batches", type=int, default=20,
+        help="batches for the decode-excluded (RAM frames) streaming "
+        "benchmark (0 = skip)",
+    )
+    p.add_argument(
+        "--latency-batches", default="1,8",
+        help="comma list of small batch sizes for the chip-true latency "
+        "sweep ('' = skip).  Reference story: per-image P50/P95/P99 "
+        "(runner.py:885-887)",
+    )
     args = p.parse_args()
 
     import jax
@@ -119,6 +130,53 @@ def main() -> None:
 
     fps = args.batch * n_iters / dt
 
+    # ---- chip-true small-batch latency ------------------------------- #
+    # The reference is a real-time pipeline reporting per-image latency
+    # percentiles (runner.py:885-887).  Per-dispatch timing through the
+    # relay is hopeless (hundreds of ms of tunnel RTT), so device latency
+    # is derived relay-free from a two-point scan fit: time in-program
+    # loops of two lengths and divide the difference — constant dispatch
+    # overhead cancels exactly.
+    latency = {}
+    lat_batches = [
+        int(b) for b in args.latency_batches.split(",") if b.strip()
+    ] if args.latency_batches else []
+    for b in lat_batches:
+        fr = jax.device_put(frames_host[: max(b, 1)][:b])
+
+        def make_scan(length, fr=fr):
+            @jax.jit
+            def bench_l(det_vars, cls_vars, frames):
+                def body(carry, _):
+                    out = pipe._fused_jit(
+                        det_vars, cls_vars, (640, 640), conf, carry
+                    )
+                    bump = (out["cls_labels"].sum() % 2).astype(jnp.uint8)
+                    return carry.at[0, 0, 0, 0].add(bump), out["valid"].sum()
+                _, counts = jax.lax.scan(body, frames, None, length=length)
+                return counts
+            return bench_l
+
+        L1, L2 = 16, 64
+        s1, s2 = make_scan(L1), make_scan(L2)
+        samples = []
+        for rep in range(6):
+            t0 = time.perf_counter()
+            np.asarray(s1(pipe.det_vars, pipe.cls_vars, fr))
+            t1 = time.perf_counter()
+            np.asarray(s2(pipe.det_vars, pipe.cls_vars, fr))
+            t2 = time.perf_counter()
+            if rep == 0:
+                continue  # first pair pays both compiles
+            samples.append(((t2 - t1) - (t1 - t0)) / (L2 - L1) * 1e3)
+        samples.sort()
+        p50 = samples[len(samples) // 2]
+        latency[f"b{b}"] = {
+            "ms_per_batch_p50": round(p50, 3),
+            "ms_per_frame_p50": round(p50 / b, 3),
+            "ms_per_batch_p95": round(samples[-1], 3),
+        }
+
     # Streaming number: JPEG decode + host->HBM transfer + fused compute,
     # through StreamingRunner's decode-ahead/dispatch-ahead path.  This is
     # the honest "frames start as JPEG bytes on the host" figure next to the
@@ -143,7 +201,27 @@ def main() -> None:
                 paths.append(p_)
             runner = StreamingRunner(pipe, batch_size=args.batch, inflight=2)
             streaming = runner.benchmark(paths, cfg.benchmark_conf)
+            # decode-throughput probe: frames/s on ONE decode thread — with
+            # it, streaming fps on N cores is predictable as
+            # min(device_fps, N * decode_fps_core)
+            streaming["decode_fps_core"] = round(
+                runner.decode_probe(paths[:64], threads=1)["fps"], 2
+            )
             runner.close()
+
+    # decode-EXCLUDED streaming: pre-decoded RAM frames through the same
+    # dispatch-ahead window (host->HBM transfer + dispatch included) —
+    # proves the overlap machinery separate from this host's decode floor
+    streaming_ram = None
+    if args.streaming_ram_batches > 0:
+        from litepi_tpu.pipeline.streaming import StreamingRunner
+
+        runner = StreamingRunner(pipe, batch_size=args.batch, inflight=2)
+        streaming_ram = runner.benchmark_ram(
+            frames_host, n_batches=args.streaming_ram_batches,
+            conf_threshold=cfg.benchmark_conf,
+        )
+        runner.close()
 
     record = {
         "metric": "e2e_frames_per_sec_640",
@@ -157,10 +235,15 @@ def main() -> None:
         "device": str(jax.devices()[0]),
         "latency_ms_per_batch": round(dt / n_iters * 1e3, 3),
     }
+    if latency:
+        record["latency"] = latency
     if streaming is not None:
         record["streaming_fps"] = round(streaming["fps"], 2)
         record["streaming_frames"] = streaming["frames"]
         record["streaming_native_decoder"] = streaming["native_decoder"]
+        record["decode_fps_core"] = streaming.get("decode_fps_core")
+    if streaming_ram is not None:
+        record["streaming_ram_fps"] = round(streaming_ram["fps"], 2)
     print(json.dumps(record))
 
 

@@ -11,7 +11,10 @@ into orbax checkpoints the pipeline loads directly:
   pickle-with-``model``-attr layout, unwrapped without ultralytics
   installed),
 * ``.onnx`` exports (fused or unfused initializers, read without the onnx
-  package).
+  package),
+* NCNN ``.param`` graphs (+ ``--bin``; the reference's fastest deployed
+  format, e2e.py:195-220) — variant checked against the graph topology,
+* OpenVINO IR ``.xml`` (+ sibling or ``--bin`` weights, runner.py:175-222).
 
     python -m litepi_tpu.apps.convert \
         --arch shufflenetv2 --num_classes 91 \
@@ -47,7 +50,13 @@ def main(argv=None) -> int:
     p.add_argument("--num_classes", type=int, required=True)
     p.add_argument(
         "--input", required=True,
-        help=".pth state dict, ultralytics .pt container, or .onnx export",
+        help=".pth state dict, ultralytics .pt container, .onnx export, "
+        "NCNN .param graph, or OpenVINO .xml IR",
+    )
+    p.add_argument(
+        "--bin", default=None,
+        help="weights blob for .param/.xml inputs (default: the sibling "
+        ".bin next to the graph file)",
     )
     p.add_argument("--output", required=True, help="orbax checkpoint dir")
     p.add_argument("--input_size", type=int, default=64)
@@ -69,7 +78,36 @@ def main(argv=None) -> int:
         }[args.arch]
 
     # ---- read + convert ------------------------------------------------ #
-    if args.input.endswith(".onnx"):
+    if args.input.endswith((".param", ".xml")):
+        if not is_detector:
+            print(
+                "error: .param/.xml ingestion covers detectors; classifier "
+                "graphs lose their torch names in those exports — convert "
+                "from the .pth or a name-preserving .onnx instead",
+                file=sys.stderr,
+            )
+            return 2
+        import os
+
+        bin_path = args.bin or os.path.splitext(args.input)[0] + ".bin"
+        if args.input.endswith(".param"):
+            # NCNN names the pair model.ncnn.param/.bin
+            if args.bin is None and args.input.endswith(".ncnn.param"):
+                bin_path = args.input[: -len(".param")] + ".bin"
+            from litepi_tpu.weights.ncnn_import import convert_detector_ncnn
+
+            variables, matched = convert_detector_ncnn(
+                args.input, bin_path, cfg
+            )
+        else:
+            from litepi_tpu.weights.openvino_import import (
+                convert_detector_openvino,
+            )
+
+            variables, matched = convert_detector_openvino(
+                args.input, bin_path, cfg
+            )
+    elif args.input.endswith(".onnx"):
         if is_detector:
             from litepi_tpu.weights.onnx_import import convert_detector_onnx
 
@@ -87,7 +125,13 @@ def main(argv=None) -> int:
 
         sd = load_torch_state_dict(args.input)
         if is_detector:
-            variables = convert_detector_state_dict(sd, cfg.depths)
+            # tolerate fused exports saved back to .pth (identity-BN
+            # rebuild is a no-op for ordinary unfused dicts)
+            from litepi_tpu.weights.onnx_import import defuse_state_dict
+
+            variables = convert_detector_state_dict(
+                defuse_state_dict(sd), cfg.depths
+            )
         else:
             variables = convert_classifier_state_dict(args.arch, sd)
 

@@ -1,12 +1,19 @@
 """End-to-end evaluation CLI, flag-compatible with the reference ``e2e.py``
 (reference: src/tt100k/pipeline/e2e.py:1013-1189).
 
-Differences forced by the backend swap (three CPU engines -> one XLA
-backend): detector weights load from an orbax checkpoint (``--detector``)
-instead of NCNN param/bin pairs; classifier weights load from either an orbax
-checkpoint or a torch ``.pth`` state dict (converted on the fly).  The legacy
-``--detector_param``/``--detector_bin`` flags are still parsed so existing
-scripts fail with a pointed message rather than an argparse error.
+Detector weights load from any of the reference's deployed artifact
+formats, converted on the fly (all collapse onto the one XLA backend):
+
+* ``--detector_param model.ncnn.param --detector_bin model.ncnn.bin`` —
+  the reference CLI's native flags (e2e.py:195-220 ``NCNNDetector``);
+  the yolo_plus variant is inferred from the graph topology;
+* ``--detector foo.xml`` — OpenVINO IR (+ sibling ``.bin`` or
+  ``--detector_bin``), the runner.py backend's format;
+* ``--detector foo.onnx`` — the ONNX export;
+* ``--detector best.pt`` — an Ultralytics training container;
+* ``--detector ckpt_dir`` — an orbax checkpoint (apps/convert.py output).
+
+Classifier weights load from an orbax checkpoint or a torch ``.pth``.
 
 Usage:
     python -m litepi_tpu.apps.e2e \
@@ -25,9 +32,20 @@ import sys
 def build_arg_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Two-stage TSR e2e evaluation (TPU)")
     # weights
-    p.add_argument("--detector", default=None, help="orbax checkpoint dir (or 'random')")
-    p.add_argument("--detector_param", default=None, help=argparse.SUPPRESS)
-    p.add_argument("--detector_bin", default=None, help=argparse.SUPPRESS)
+    p.add_argument(
+        "--detector", default=None,
+        help="orbax checkpoint dir, .onnx/.pt export, OpenVINO .xml, "
+        "or 'random'",
+    )
+    p.add_argument(
+        "--detector_param", default=None,
+        help="NCNN .param graph (with --detector_bin)",
+    )
+    p.add_argument(
+        "--detector_bin", default=None,
+        help="NCNN .bin weights; also the OpenVINO .bin when --detector "
+        "is an .xml whose sibling .bin is elsewhere",
+    )
     p.add_argument(
         "--detector_variant",
         default=None,  # resolved from --dataset preset when omitted
@@ -102,14 +120,63 @@ def build_arg_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
 
-    if args.detector_param or args.detector_bin:
-        print(
-            "error: NCNN param/bin artifacts are not loadable by the XLA "
-            "backend. Convert once with litepi_tpu.weights and pass the "
-            "checkpoint dir via --detector.",
-            file=sys.stderr,
+    # deployed-artifact ingestion: infer the yolo_plus variant from the
+    # graph itself so --detector_variant can stay unset (the reference CLI
+    # carries no variant flag — the .param IS the architecture)
+    explicit_variant = args.detector_variant
+    inferred_variant = None
+    if args.detector_param:
+        if not args.detector_bin:
+            print(
+                "error: --detector_param needs --detector_bin (note: the "
+                "tt100k tree's model.ncnn.bin is stripped upstream — see "
+                ".MISSING_LARGE_BLOBS; the vntsr v1 pair survives)",
+                file=sys.stderr,
+            )
+            return 2
+        from litepi_tpu.weights.ncnn_import import (
+            infer_detector_config,
+            parse_ncnn_param,
         )
-        return 2
+
+        try:
+            inferred_variant = infer_detector_config(
+                parse_ncnn_param(args.detector_param)
+            ).name
+        except (OSError, ValueError) as e:
+            print(f"error: --detector_param: {e}", file=sys.stderr)
+            return 2
+    elif args.detector and args.detector.endswith(".xml"):
+        from litepi_tpu.core.types import YOLO_PLUS_V1, YOLO_PLUS_V2
+        from litepi_tpu.weights.openvino_import import (
+            verify_openvino_topology,
+        )
+
+        for cand in (YOLO_PLUS_V2, YOLO_PLUS_V1):
+            try:
+                verify_openvino_topology(args.detector, cand)
+                inferred_variant = cand.name
+                break
+            except ValueError:
+                continue
+            except OSError as e:
+                print(f"error: --detector: {e}", file=sys.stderr)
+                return 2
+        if inferred_variant is None:
+            print(
+                f"error: {args.detector} matches neither yolo_plus variant",
+                file=sys.stderr,
+            )
+            return 2
+    if inferred_variant is not None:
+        if explicit_variant and explicit_variant != inferred_variant:
+            print(
+                f"error: --detector_variant {explicit_variant} conflicts "
+                f"with the artifact's topology ({inferred_variant})",
+                file=sys.stderr,
+            )
+            return 2
+        args.detector_variant = inferred_variant
 
     import jax
 
@@ -223,12 +290,57 @@ def main(argv=None) -> int:
         # anchor-based v5 emits 3 priors per cell: 3x the anchor-free grid
         candidate_capacity = int(g.shape[0])
     else:
-        det_model = YoloLitePi(cfg.detector, dtype=dtype)
-    if args.detector and args.detector != "random":
-        det_vars = load_checkpoint(args.detector)
+        # default arch: leave det_model=None so TwoStagePipeline builds the
+        # deploy form (BN folded into biased convs) — the documented serving
+        # default, matching the reference's fused exports
+        det_model = None
+    det = args.detector or ""
+    artifact = args.detector_param or det.endswith((".xml", ".onnx", ".pt", ".pth"))
+    if artifact and args.detector_variant in ("yolov5n", "yolov11n"):
+        print(
+            "error: direct artifact loading covers the yolo_plus/yolov8 "
+            "family; convert v5n/v11n weights to an orbax checkpoint with "
+            "apps/convert.py first",
+            file=sys.stderr,
+        )
+        return 2
+    if args.detector_param:
+        from litepi_tpu.weights.ncnn_import import convert_detector_ncnn
+
+        det_vars, _ = convert_detector_ncnn(
+            args.detector_param, args.detector_bin
+        )
+    elif det.endswith(".xml"):
+        from litepi_tpu.weights.openvino_import import (
+            convert_detector_openvino,
+        )
+
+        det_vars, _ = convert_detector_openvino(
+            det, args.detector_bin or det[: -len(".xml")] + ".bin"
+        )
+    elif det.endswith(".onnx"):
+        from litepi_tpu.weights.onnx_import import convert_detector_onnx
+
+        det_vars = convert_detector_onnx(det, cfg.detector.depths)
+    elif det.endswith((".pt", ".pth")):
+        from litepi_tpu.weights.onnx_import import defuse_state_dict
+        from litepi_tpu.weights.torch_import import (
+            convert_detector_state_dict,
+        )
+
+        det_vars = convert_detector_state_dict(
+            defuse_state_dict(load_torch_state_dict(det)),
+            cfg.detector.depths,
+        )
+    elif det and det != "random":
+        det_vars = load_checkpoint(det)
     else:
         print("[warn] no --detector checkpoint: using random weights", file=sys.stderr)
-        det_vars = fast_init(det_model, seed=0)
+        det_vars = fast_init(
+            det_model if det_model is not None
+            else YoloLitePi(cfg.detector, dtype=dtype),
+            seed=0,
+        )
 
     cls_model = build_classifier(args.clf_arch, args.num_classes, dtype=dtype)
     if args.classifier and args.classifier.endswith((".pth", ".pt")):

@@ -206,7 +206,12 @@ def run_single(pipe, args, class_names) -> int:
     return 0
 
 
-def run_camera(pipe, args, class_names) -> int:  # pragma: no cover - hardware
+def run_camera(pipe, args, class_names) -> int:
+    """Live-camera loop (reference: full_appv2.py:166-207 / full_appv3.py:288).
+
+    No camera exists on TPU hosts, so CI exercises this loop through a fake
+    ``cv2.VideoCapture`` (tests/test_stream_app.py::test_camera_mode_loop);
+    the loop ends when ``cap.read()`` stops delivering frames."""
     import cv2
 
     cap = cv2.VideoCapture(args.cam_id)

@@ -252,6 +252,24 @@ def main(argv=None) -> int:
         )
     elif args.resume:
         print(f"--resume: no checkpoint at {resume_dir}, starting fresh")
+    if args.resume and jax.process_count() > 1:
+        # Every process loads the resume point independently; without a
+        # shared filesystem a process that cannot see the file would start
+        # at epoch 0 while others resume at epoch k — divergent loop
+        # lengths silently desynchronise the SPMD collectives.  Verify
+        # agreement and abort loudly on mismatch.
+        from jax.experimental import multihost_utils
+
+        epochs_seen = multihost_utils.process_allgather(
+            np.asarray(start_epoch)
+        )
+        if int(epochs_seen.min()) != int(epochs_seen.max()):
+            raise RuntimeError(
+                "--resume: processes disagree on the resume epoch "
+                f"({sorted(int(e) for e in np.ravel(epochs_seen))}); the "
+                "checkpoint directory must live on a filesystem shared by "
+                "every process"
+            )
     for epoch in range(start_epoch, args.epochs):
         t0 = time.perf_counter()
         # epoch-seeded cursor: a resumed run sees exactly the batches the

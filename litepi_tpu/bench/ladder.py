@@ -271,12 +271,13 @@ class OptimizationExperiment:
                         np.zeros(len(res["boxes"]), np.int64),
                     )
                 )
-        # class count from the labels themselves: the flagship detector is
-        # 1-class, but loaded YOLO label dirs may carry any id range
-        nc = 1 + max(
-            (int(c.max()) for _, c in gts if len(c)), default=0
-        )
-        acc = evaluate_predictions_reference(preds, gts, num_classes=nc)
+        # detection-level accuracy (runner.py:348-370): the detector is
+        # 1-class ("sign"), so GT class ids are collapsed to 0 — otherwise
+        # every non-0-class GT in a multi-class label dir would be
+        # unmatched by construction and deflate mAP (train_detector.py's
+        # validate() applies the same collapse).
+        gts_det = [(gb, np.zeros_like(gc)) for gb, gc in gts]
+        acc = evaluate_predictions_reference(preds, gts_det, num_classes=1)
 
         stats = percentile_summary(lat)
         stats["fps"] = spec.batch / (stats["mean"] / 1e3)
@@ -308,18 +309,29 @@ class OptimizationExperiment:
             return "(no results)"
         base = next(iter(self.results.values()))["fps"]
         lines = [
+            # timing_caveat: staged (unfused) levels dispatch several
+            # programs per batch from the host, so on a relayed/tunnelled
+            # TPU their absolute ms is RTT-dominated — the L0->L4 *trend*
+            # is real, the staged columns' absolute values are not
+            # chip-true.  Fused levels time one dispatch and are.
             "level,description,batch,fps,mean_ms,p50_ms,p95_ms,p99_ms,"
-            "speedup_vs_L0,mAP50,precision,recall"
+            "speedup_vs_L0,mAP50,precision,recall,timing_caveat"
         ]
         for spec in self.levels:
             if spec.name not in self.results:
                 continue
             s = self.results[spec.name]
+            caveat = (
+                "host-dispatch-bound (relay RTT dominates off-prem)"
+                if not spec.fused
+                else "chip-true (single fused dispatch)"
+            )
             lines.append(
                 f"{spec.name},{spec.description},{s['batch']},"
                 f"{s['fps']:.2f},{s['mean']:.2f},{s['p50']:.2f},"
                 f"{s['p95']:.2f},{s['p99']:.2f},{s['fps'] / base:.2f},"
-                f"{s['mAP50']:.4f},{s['precision']:.4f},{s['recall']:.4f}"
+                f"{s['mAP50']:.4f},{s['precision']:.4f},{s['recall']:.4f},"
+                f"{caveat}"
             )
         return "\n".join(lines)
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 def make_divisible(x: float, divisor: int = 8) -> int:
@@ -54,6 +54,20 @@ class DetectorConfig:
     reg_max: int = 16
     input_size: int = 640
     strides: Tuple[int, ...] = (8, 16, 32)
+    # PAN bottom-up down-conv widths (pre-scale).  None = the stock YOLOv8
+    # pattern (base P3, P4) that yolo_plus_v2's YAML follows; yolo_plus_v1's
+    # YAML instead widens each down conv to the NEXT stage width
+    # ([256, 512] on its [32..512] base — train-yolo-custom-tt100k.ipynb
+    # cell 28 head rows 16/19; confirmed by the surviving vntsr export:
+    # yolo_plus.onnx model.16 (64,32,3,3) / model.19 (128,64,3,3)).
+    neck_down_base: Optional[Tuple[int, int]] = None
+    # Both yolo_plus YAMLs pass ``C2f [..., True]`` in the NECK too
+    # (train-yolo-custom-tt100k.ipynb cells 28/30) — residual bottlenecks
+    # everywhere, unlike stock YOLOv8 whose head C2fs omit the shortcut.
+    # Verified against the real vntsr export: without it, neck activations
+    # diverge from the NCNN graph interpreter by O(1) while the backbone
+    # matches to 1e-5 (tests/test_ncnn_import.py differential).
+    neck_shortcut: bool = True
 
     @property
     def channels(self) -> Tuple[int, ...]:
@@ -77,21 +91,38 @@ class DetectorConfig:
         """Width of the Detect head's class branch: max(P3, min(nc, 100))."""
         return max(self.channels[2], min(self.num_classes, 100))
 
+    @property
+    def neck_down_channels(self) -> Tuple[int, int]:
+        """Scaled widths of the two PAN bottom-up down convs."""
+        base = self.neck_down_base or (
+            self.base_channels[2], self.base_channels[3]
+        )
+        return tuple(make_divisible(c * self.width) for c in base)
+
 
 # The shipped TT100K detector: stem 16 -> 24 -> 48 -> 96 -> 192, C2f x(1,2,2,1)
 # (reference: src/tt100k/convert/model/yolo_plus/yolo_plus_ncnn_model/
 # model.ncnn.param:3-208; ~1.8M params / 5.2 GFLOPs per README.md:14).
 YOLO_PLUS_V2 = DetectorConfig(name="yolo_plus_v2")
 
-# The shipped VN-Signs detector: same topology at half width (stem 8, ~0.97M
-# params; reference: src/vntsr/convert/model/yolo_plus/yolo_plus_ncnn_model/
-# model.ncnn.param:2, metadata.yaml "YOLO_plus_v1").
+# The shipped VN-Signs detector: half width (stem 8, ~0.97M params) and a
+# slightly different PAN: its YAML widens the bottom-up down convs to the
+# next stage width (reference: train-yolo-custom-tt100k.ipynb cell 28 head
+# rows 16/19 — Conv[256]/Conv[512]; src/vntsr/convert/model/yolo_plus/
+# yolo_plus_ncnn_model/model.ncnn.param:2, metadata.yaml "YOLO_plus_v1").
 YOLO_PLUS_V1 = DetectorConfig(
-    name="yolo_plus_v1", base_channels=(32, 64, 128, 256, 512)
+    name="yolo_plus_v1",
+    base_channels=(32, 64, 128, 256, 512),
+    neck_down_base=(256, 512),
 )
 
 # Stock YOLOv8n widths for baseline-parity runs (reference README.md:40).
-YOLOV8N = DetectorConfig(name="yolov8n", base_channels=(64, 128, 256, 512, 1024))
+# Stock v8 necks run plain (non-residual) C2f bottlenecks, unlike yolo_plus.
+YOLOV8N = DetectorConfig(
+    name="yolov8n",
+    base_channels=(64, 128, 256, 512, 1024),
+    neck_shortcut=False,
+)
 
 # Dataset presets: classifier crop-normalisation stats + class counts +
 # the detector each tree ships (reference: tt100k uses scalar 0.18/0.34 and

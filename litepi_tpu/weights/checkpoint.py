@@ -92,14 +92,20 @@ def load_train_checkpoint(
     the restore happen in ONE pass; without it the checkpoint is read twice
     (once untyped just to learn meta's keys).  If ``path`` is missing but a
     ``path + ".old"`` swap leftover exists (preemption between the renames
-    of :func:`save_train_checkpoint`), that previous epoch is restored.
+    of :func:`save_train_checkpoint`), it is PROMOTED back to ``path``
+    before restoring — otherwise the next epoch's save would delete the
+    sole surviving resume point as "stale" before its replacement exists,
+    reopening the data-loss window the swap closes.
     """
     import numpy as np
 
-    if not os.path.isdir(os.path.abspath(path)) and os.path.isdir(
-        os.path.abspath(path) + ".old"
-    ):
-        path = path + ".old"
+    abspath = os.path.abspath(path)
+    if not os.path.isdir(abspath) and os.path.isdir(abspath + ".old"):
+        if jax.process_index() == 0:
+            os.rename(abspath + ".old", abspath)
+        else:  # non-0 processes read whichever name exists right now
+            if not os.path.isdir(abspath):
+                path = path + ".old"
     if meta_template is not None:
         tpl = {
             "state": like_state,

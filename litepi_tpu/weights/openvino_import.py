@@ -1,0 +1,223 @@
+"""OpenVINO IR (``.xml`` + ``.bin``) detector ingestion (dependency-free).
+
+One of the reference's three deployed backends compiles OpenVINO IR
+(reference: runner.py:175-222 ``BaselineDetector`` via ``Core.compile_model``;
+artifacts src/*/convert/model/yolo_plus/yolo_plus_openvino_model/
+yolo_plus.xml:4-7).  The IR is plain XML over a flat weight blob: ``Const``
+layers carry ``offset``/``size``/``shape``/``element_type`` into the ``.bin``.
+Conv *weights* keep their torch names (``self.model.0.conv.weight``), so they
+map straight onto the shared state-dict converter; conv *biases* are
+anonymous Consts feeding an ``Add`` right after each ``Convolution`` — they
+are recovered by walking the edge list (the module path is parsed out of the
+Convolution layer's ``__module.model.X…/aten::_convolution`` name).
+
+The vntsr tree ships the real v1 ``yolo_plus.bin`` (3.97 MB survives the
+blob strip), so ingestion is tested against actual reference weights and
+cross-checked bit-exact against the same export's ONNX and NCNN copies.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import xml.etree.ElementTree as ET
+from typing import Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+from litepi_tpu.core.types import DetectorConfig
+
+_ELEMENT_DTYPES = {
+    "f32": np.float32,
+    "f16": np.float16,
+    "f64": np.float64,
+    "i64": np.int64,
+    "i32": np.int32,
+    "i8": np.int8,
+    "u8": np.uint8,
+    "boolean": np.bool_,
+}
+
+
+@dataclasses.dataclass
+class IrLayer:
+    id: int
+    name: str
+    type: str
+    data: Dict[str, str]
+
+
+@dataclasses.dataclass
+class IrGraph:
+    layers: Dict[int, IrLayer]
+    # consumer map: from_layer -> [(to_layer, to_port)]
+    consumers: Dict[int, List[Tuple[int, int]]]
+    # producer map: (to_layer, to_port) -> from_layer
+    producers: Dict[Tuple[int, int], int]
+
+
+def parse_openvino_xml(xml_path: str) -> IrGraph:
+    root = ET.parse(xml_path).getroot()
+    layers: Dict[int, IrLayer] = {}
+    for el in root.find("layers"):
+        lid = int(el.get("id"))
+        data_el = el.find("data")
+        layers[lid] = IrLayer(
+            lid,
+            el.get("name", ""),
+            el.get("type", ""),
+            dict(data_el.attrib) if data_el is not None else {},
+        )
+    consumers: Dict[int, List[Tuple[int, int]]] = {}
+    producers: Dict[Tuple[int, int], int] = {}
+    for e in root.find("edges"):
+        f, t, tp = (
+            int(e.get("from-layer")),
+            int(e.get("to-layer")),
+            int(e.get("to-port")),
+        )
+        consumers.setdefault(f, []).append((t, tp))
+        producers[(t, tp)] = f
+    return IrGraph(layers, consumers, producers)
+
+
+def _const_array(layer: IrLayer, blob: bytes) -> np.ndarray:
+    dtype = _ELEMENT_DTYPES.get(layer.data.get("element_type"))
+    if dtype is None:
+        raise ValueError(
+            f"{layer.name}: unsupported element_type "
+            f"{layer.data.get('element_type')!r}"
+        )
+    off, size = int(layer.data["offset"]), int(layer.data["size"])
+    shape_txt = layer.data.get("shape", "")
+    shape = tuple(
+        int(s) for s in shape_txt.replace(" ", "").split(",") if s
+    )
+    arr = np.frombuffer(blob[off : off + size], dtype=dtype)
+    return arr.reshape(shape) if shape else arr
+
+
+def _module_path(conv_name: str) -> Optional[str]:
+    """``__module.model.4.cv1.conv/aten::_convolution/Convolution`` ->
+    ``model.4.cv1.conv`` (None if the layer is not a torch conv)."""
+    if not conv_name.startswith("__module."):
+        return None
+    return conv_name[len("__module.") :].split("/", 1)[0]
+
+
+def openvino_state_dict(
+    xml_path: str, bin_path: str
+) -> Dict[str, np.ndarray]:
+    """IR -> Ultralytics-style (fused) state dict.
+
+    Weights come from the named Consts; biases from the Add that consumes
+    each Convolution's output (shape ``(1, C, 1, 1)`` Const, C = the conv's
+    out-channels).  fp16 IRs upcast to float32.
+    """
+    g = parse_openvino_xml(xml_path)
+    blob = open(bin_path, "rb").read()
+    sd: Dict[str, np.ndarray] = {}
+    for layer in g.layers.values():
+        if layer.type == "Const" and layer.name.startswith("self.model."):
+            arr = _const_array(layer, blob)
+            if arr.dtype == np.float16:
+                arr = arr.astype(np.float32)
+            sd[layer.name[len("self.") :]] = arr
+    for layer in g.layers.values():
+        if layer.type != "Convolution":
+            continue
+        path = _module_path(layer.name)
+        if path is None:
+            continue
+        for to_layer, to_port in g.consumers.get(layer.id, []):
+            consumer = g.layers[to_layer]
+            if consumer.type != "Add":
+                continue
+            other = g.producers.get((to_layer, 1 - to_port))
+            if other is None or g.layers[other].type != "Const":
+                continue
+            bias = _const_array(g.layers[other], blob)
+            if bias.ndim == 4 and bias.shape[0] == 1 and bias.shape[2:] == (1, 1):
+                if bias.dtype == np.float16:
+                    bias = bias.astype(np.float32)
+                key = f"{path}.bias"
+                # torch bare convs (head 1x1s) name the module itself;
+                # ConvBN convs name the `.conv` child — path already
+                # carries whichever, so the key lines up with the weight
+                sd[key] = bias.reshape(-1)
+    return sd
+
+
+def verify_openvino_topology(
+    xml_path: str, cfg: DetectorConfig
+) -> None:
+    """Check the IR's convolution set against ``cfg``: every expected
+    module path must appear with the expected (out, in-divisible, k, k)
+    weight shape, and the conv count must match the canonical plan
+    (reference: yolo_plus.xml:4-7 declares the (1,3,640,640) Parameter)."""
+    from litepi_tpu.weights.ncnn_import import ultralytics_conv_plan
+
+    g = parse_openvino_xml(xml_path)
+    plan = ultralytics_conv_plan(cfg)
+    convs = [l for l in g.layers.values() if l.type == "Convolution"]
+    errors: List[str] = []
+    if len(convs) != len(plan):
+        errors.append(
+            f"conv count: IR has {len(convs)}, config expects {len(plan)}"
+        )
+    # weight shapes by name (Const shape attr — no .bin needed)
+    shapes: Dict[str, Tuple[int, ...]] = {}
+    for l in g.layers.values():
+        if l.type == "Const" and l.name.startswith("self.model."):
+            shape = tuple(
+                int(s)
+                for s in l.data.get("shape", "").replace(" ", "").split(",")
+                if s
+            )
+            shapes[l.name[len("self.") :]] = shape
+    for path, out_c, k in plan:
+        if path == "model.22.dfl":
+            continue  # DFL weight is an anonymous folded Const in the IR
+        is_bare = path.startswith("model.22.") and path.endswith(".2")
+        key = f"{path}.weight" if is_bare else f"{path}.conv.weight"
+        shape = shapes.get(key)
+        if shape is None:
+            errors.append(f"missing IR Const {key}")
+        elif shape[0] != out_c or shape[2:] != (k, k):
+            errors.append(
+                f"{key}: IR shape {shape}, config expects "
+                f"({out_c}, ·, {k}, {k})"
+            )
+    if errors:
+        raise ValueError(
+            f"OpenVINO IR does not match config {cfg.name!r}:\n  "
+            + "\n  ".join(errors)
+        )
+
+
+def convert_detector_openvino(
+    xml_path: str,
+    bin_path: str,
+    cfg: Optional[DetectorConfig] = None,
+):
+    """OpenVINO IR -> (YoloLitePi variables, matched config)."""
+    from litepi_tpu.core.types import YOLO_PLUS_V1, YOLO_PLUS_V2
+    from litepi_tpu.weights.onnx_import import defuse_state_dict
+    from litepi_tpu.weights.torch_import import convert_detector_state_dict
+
+    if cfg is None:
+        errs = []
+        for cand in (YOLO_PLUS_V2, YOLO_PLUS_V1):
+            try:
+                verify_openvino_topology(xml_path, cand)
+                cfg = cand
+                break
+            except ValueError as e:
+                errs.append(str(e).splitlines()[0])
+        if cfg is None:
+            raise ValueError(
+                "IR matches neither yolo_plus variant: " + "; ".join(errs)
+            )
+    else:
+        verify_openvino_topology(xml_path, cfg)
+    sd = defuse_state_dict(openvino_state_dict(xml_path, bin_path))
+    return convert_detector_state_dict(sd, cfg.depths), cfg

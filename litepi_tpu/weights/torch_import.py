@@ -38,7 +38,7 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
         raise
     except Exception:
         # not a plain-tensor pickle: fall back to the CONTAINER loader,
-        # whose unpickler only resolves an allowlist of modules (see
+        # whose unpickler only resolves an exact-symbol allowlist (see
         # _LenientUnpickler) — the fallback never re-enables arbitrary
         # pickle execution
         return load_ultralytics_container(path)
@@ -103,27 +103,54 @@ def load_ultralytics_container(path: str) -> Dict[str, np.ndarray]:
 
     import torch
 
-    # Only these module trees may resolve to REAL classes during
-    # unpickling; everything else — importable or not — becomes an inert
-    # stub.  Without the allowlist a crafted 'weights' file could resolve
-    # e.g. os.system or builtins.exec and pickle REDUCE would execute it.
-    safe_prefixes = ("torch", "numpy", "collections")
-    safe_builtins = {
-        "set", "frozenset", "list", "dict", "tuple", "complex",
-        "bytearray", "bytes", "slice", "range",
-    }
+    # Only EXACT symbols may resolve to real objects during unpickling;
+    # everything else — importable or not — becomes an inert stub.  Whole
+    # package prefixes are not safe: even "trusted" trees contain exec
+    # gadgets (e.g. numpy.testing._private.utils.runstring).  We mirror
+    # torch.load(weights_only=True)'s own allowlist (the tensor-rebuild
+    # machinery, storages, dtypes) and add the handful of numpy /
+    # collections symbols the Ultralytics container format actually needs.
+    safe_globals: Dict[str, Any] = {}
+    try:  # torch's own weights_only allowlist — exact, maintained upstream
+        import torch._weights_only_unpickler as _wou
+
+        safe_globals.update(_wou._get_allowed_globals())
+    except Exception:  # pragma: no cover - older torch: minimal hand list
+        import collections
+
+        safe_globals.update({
+            "collections.OrderedDict": collections.OrderedDict,
+            "torch._utils._rebuild_tensor": torch._utils._rebuild_tensor,
+            "torch._utils._rebuild_tensor_v2":
+                torch._utils._rebuild_tensor_v2,
+            "torch._utils._rebuild_parameter":
+                torch._utils._rebuild_parameter,
+            "torch.Size": torch.Size,
+            "torch.device": torch.device,
+            "torch.nn.parameter.Parameter": torch.nn.Parameter,
+        })
+        for _n in dir(torch):
+            if _n.endswith("Storage") or isinstance(
+                getattr(torch, _n, None), torch.dtype
+            ):
+                safe_globals[f"torch.{_n}"] = getattr(torch, _n)
+    for _mod in ("numpy.core.multiarray", "numpy._core.multiarray"):
+        try:
+            _m = __import__(_mod, fromlist=["_reconstruct"])
+            safe_globals[f"{_mod}._reconstruct"] = _m._reconstruct
+            safe_globals[f"{_mod}.scalar"] = _m.scalar
+        except (ImportError, AttributeError):
+            pass
+    safe_globals["numpy.ndarray"] = np.ndarray
+    safe_globals["numpy.dtype"] = np.dtype
 
     class _LenientUnpickler(pickle.Unpickler):
         def find_class(self, module, name):  # noqa: D102
-            root = module.split(".")[0]
-            allowed = root in safe_prefixes or (
-                root in ("builtins", "__builtin__") and name in safe_builtins
-            )
-            if allowed:
-                try:
-                    return super().find_class(module, name)
-                except (ImportError, AttributeError):
-                    pass
+            if module == "__builtin__":  # legacy py2 name torch emits
+                module = "builtins"
+            hit = safe_globals.get(f"{module}.{name}")
+            if hit is not None:
+                return hit
             return type(name, (_StubModule,), {"__module__": module})
 
     pickle_module = types.SimpleNamespace(

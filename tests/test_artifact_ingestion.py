@@ -36,13 +36,17 @@ from tests.torch_refs import randomize_bn_stats
 from tests.torch_yolo_ref import YoloV8T
 
 TINY = DetectorConfig(
-    name="tiny", base_channels=(32, 64, 128, 256, 512), input_size=64
+    name="tiny", base_channels=(32, 64, 128, 256, 512), input_size=64,
+    neck_down_base=(256, 512),  # = YOLO_PLUS_V1's PAN (core/types.py)
 )
 
 
 def _torch_model(seed=0):
     torch.manual_seed(seed)
-    tm = YoloV8T(TINY.channels, TINY.depths, nc=1, reg_max=TINY.reg_max)
+    tm = YoloV8T(
+        TINY.channels, TINY.depths, nc=1, reg_max=TINY.reg_max,
+        neck_shortcut=TINY.neck_shortcut, neck_down=TINY.neck_down_channels,
+    )
     randomize_bn_stats(tm, seed=1)
     tm.eval()
     return tm
@@ -356,9 +360,11 @@ def test_convert_cli_detector_pt_and_onnx(tmp_path):
 
 
 def test_lenient_unpickler_refuses_arbitrary_callables(tmp_path):
-    """A crafted 'weights' pickle must NOT execute importable callables
-    (os.system etc.) — the lenient loader stubs everything outside the
-    torch/numpy/collections allowlist."""
+    """A crafted 'weights' pickle must NOT execute importable callables —
+    neither the obvious ones (os.system) nor exec gadgets hiding inside
+    otherwise-trusted packages (numpy.testing._private.utils.runstring
+    exec()s its argument).  The lenient loader resolves only an
+    exact-symbol allowlist; everything else becomes an inert stub."""
     import pickle
 
     from litepi_tpu.weights.torch_import import load_ultralytics_container
@@ -371,14 +377,24 @@ def test_lenient_unpickler_refuses_arbitrary_callables(tmp_path):
 
             return (os.system, (f"touch {marker}",))
 
-    path = tmp_path / "evil.pt"
-    with open(path, "wb") as f:
-        pickle.dump({"model": Evil()}, f)
-    try:
-        load_ultralytics_container(str(path))
-    except Exception:
-        pass  # refusing loudly is fine; executing is not
-    assert not marker.exists(), "malicious pickle payload was executed"
+    class EvilNumpyGadget:
+        def __reduce__(self):
+            from numpy.testing._private.utils import runstring
+
+            return (
+                runstring,
+                (f"import os; os.system('touch {marker}')", {}),
+            )
+
+    for payload in (Evil(), EvilNumpyGadget()):
+        path = tmp_path / "evil.pt"
+        with open(path, "wb") as f:
+            pickle.dump({"model": payload}, f)
+        try:
+            load_ultralytics_container(str(path))
+        except Exception:
+            pass  # refusing loudly is fine; executing is not
+        assert not marker.exists(), "malicious pickle payload was executed"
 
 
 def test_train_checkpoint_swap_survives_partial_rename(tmp_path):

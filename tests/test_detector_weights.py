@@ -17,7 +17,10 @@ from tests.torch_yolo_ref import YoloV8T
 
 def _parity(cfg: DetectorConfig, size: int, atol: float = 2e-4) -> None:
     torch.manual_seed(0)
-    tm = YoloV8T(cfg.channels, cfg.depths, nc=cfg.num_classes, reg_max=cfg.reg_max)
+    tm = YoloV8T(
+        cfg.channels, cfg.depths, nc=cfg.num_classes, reg_max=cfg.reg_max,
+        neck_shortcut=cfg.neck_shortcut, neck_down=cfg.neck_down_channels,
+    )
     randomize_bn_stats(tm, seed=1)
     tm.eval()
 
@@ -44,8 +47,16 @@ def test_yolo_plus_v2_matches_ultralytics_keyed_torch():
     _parity(YOLO_PLUS_V2, size=128)
 
 
+def test_yolo_plus_v1_matches_ultralytics_keyed_torch():
+    """v1's PAN differs from v2 (wider down convs — core/types.py); its
+    real-weight ingestion is further covered by tests/test_ncnn_import.py."""
+    from litepi_tpu.core.types import YOLO_PLUS_V1
+
+    _parity(YOLO_PLUS_V1, size=128)
+
+
 def test_yolov8n_width_matches():
-    cfg = DetectorConfig(
-        name="yolov8n", base_channels=(64, 128, 256, 512, 1024)
-    )
-    _parity(cfg, size=96)
+    """Stock v8n: wider channels AND the non-residual neck C2fs."""
+    from litepi_tpu.core.types import YOLOV8N
+
+    _parity(YOLOV8N, size=96)

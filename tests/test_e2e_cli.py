@@ -147,15 +147,76 @@ def test_cli_yolov5n_variant(synth_dataset, tmp_path):
     assert rows[1][0] == "yolov5n+shufflenetv2"
 
 
-def test_cli_rejects_ncnn_artifacts(synth_dataset, tmp_path, capsys):
+def test_cli_ncnn_artifact_errors(synth_dataset, tmp_path, capsys):
+    """Missing / unpaired NCNN artifacts fail with a pointed message, not a
+    traceback."""
     from litepi_tpu.apps.e2e import main
 
     img_dir, lbl_dir = synth_dataset
     rc = main(
         [
             "--input", str(img_dir), "--labels", str(lbl_dir),
-            "--detector_param", "model.ncnn.param",
-            "--detector_bin", "model.ncnn.bin",
+            "--detector_param", "no_such.ncnn.param",
+            "--detector_bin", "no_such.ncnn.bin",
+        ]
+    )
+    assert rc == 2
+    # .param without .bin is unusable (weights live in the .bin)
+    rc = main(
+        [
+            "--input", str(img_dir), "--labels", str(lbl_dir),
+            "--detector_param", "no_such.ncnn.param",
+        ]
+    )
+    assert rc == 2
+
+
+REF_V1 = "/root/reference/src/vntsr/convert/model/yolo_plus"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF_V1), reason="reference checkout not present"
+)
+@pytest.mark.slow
+def test_cli_loads_real_ncnn_pair(synth_dataset, tmp_path):
+    """The reference CLI's own flags drive the pipeline with the REAL
+    shipped v1 NCNN pair (reference: e2e.py:195-220); the variant is
+    inferred from the graph, no --detector_variant needed."""
+    import csv
+
+    from litepi_tpu.apps.e2e import main
+
+    img_dir, lbl_dir = synth_dataset
+    out = tmp_path / "out"
+    rc = main(
+        [
+            "--input", str(img_dir), "--labels", str(lbl_dir),
+            "--detector_param", f"{REF_V1}/yolo_plus_ncnn_model/model.ncnn.param",
+            "--detector_bin", f"{REF_V1}/yolo_plus_ncnn_model/model.ncnn.bin",
+            "--dataset", "vntsr", "--det_input_size", "160",
+            "--num_samples", "2", "--output", str(out), "--device", "cpu",
+            "--warmup", "0", "--batch_size", "2", "--max_det", "8",
+            "--eval_max_candidates", "64", "--eval_max_det", "16",
+        ]
+    )
+    assert rc == 0
+    rows = list(csv.reader(open(out / "comparison_summary.csv")))
+    assert rows[1][0].startswith("yolo_plus_v1+")
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF_V1), reason="reference checkout not present"
+)
+def test_cli_variant_conflict_with_artifact(synth_dataset):
+    from litepi_tpu.apps.e2e import main
+
+    img_dir, lbl_dir = synth_dataset
+    rc = main(
+        [
+            "--input", str(img_dir), "--labels", str(lbl_dir),
+            "--detector_param", f"{REF_V1}/yolo_plus_ncnn_model/model.ncnn.param",
+            "--detector_bin", f"{REF_V1}/yolo_plus_ncnn_model/model.ncnn.bin",
+            "--detector_variant", "yolo_plus_v2",
         ]
     )
     assert rc == 2

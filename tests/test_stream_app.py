@@ -90,3 +90,54 @@ def test_missing_input_errors():
     from litepi_tpu.apps.stream import main
 
     assert main(["--mode", "video"]) == 2
+
+
+def test_camera_mode_loop(monkeypatch, capsys):
+    """Execute the camera loop without hardware: a fake cv2.VideoCapture
+    delivers 3 synthetic frames then stops (reference: full_appv2.py:166-207,
+    whose loop is likewise bounded only by the capture source)."""
+    import cv2
+
+    from litepi_tpu.apps.stream import main
+
+    rng = np.random.default_rng(3)
+    frames = [
+        rng.integers(0, 255, (200, 320, 3), dtype=np.uint8) for _ in range(3)
+    ]
+
+    class FakeCapture:
+        def __init__(self, cam_id):
+            assert cam_id == 0
+            self._left = list(frames)
+
+        def isOpened(self):
+            return True
+
+        def read(self):
+            if not self._left:
+                return False, None
+            return True, self._left.pop(0)
+
+        def release(self):
+            pass
+
+    monkeypatch.setattr(cv2, "VideoCapture", FakeCapture)
+    monkeypatch.setattr(cv2, "destroyAllWindows", lambda: None)
+    rc = main(["--mode", "camera", "--cam_id", "0"] + COMMON)
+    assert rc == 0
+
+
+def test_camera_mode_unopenable(monkeypatch):
+    import cv2
+
+    from litepi_tpu.apps.stream import main
+
+    class Closed:
+        def __init__(self, cam_id):
+            pass
+
+        def isOpened(self):
+            return False
+
+    monkeypatch.setattr(cv2, "VideoCapture", Closed)
+    assert main(["--mode", "camera"] + COMMON) == 2

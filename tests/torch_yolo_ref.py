@@ -102,10 +102,16 @@ class YoloV8T(nn.Module):
     """The detector as an Ultralytics-keyed module list.  ``channels`` are
     the effective per-stage widths (litepi DetectorConfig.channels)."""
 
-    def __init__(self, channels, depths, nc=1, reg_max=16):
+    def __init__(self, channels, depths, nc=1, reg_max=16,
+                 neck_shortcut=True, neck_down=None):
         super().__init__()
         c = channels
         d = depths
+        # yolo_plus YAMLs run residual neck C2fs (cells 28/30 pass True);
+        # stock v8 passes neck_shortcut=False.  neck_down = the two PAN
+        # down-conv widths (v1 widens them to the next stage width).
+        ns = neck_shortcut
+        dn3, dn4 = neck_down if neck_down is not None else (c[2], c[3])
         self.model = nn.ModuleList(
             [
                 ConvT(3, c[0], 3, 2),                 # 0 stem
@@ -120,16 +126,16 @@ class YoloV8T(nn.Module):
                 SPPFT(c[4], c[4]),                    # 9
                 nn.Upsample(scale_factor=2, mode="nearest"),  # 10
                 nn.Identity(),                        # 11 concat
-                C2fT(c[4] + c[3], c[3], d[0]),        # 12
+                C2fT(c[4] + c[3], c[3], d[0], ns),    # 12
                 nn.Upsample(scale_factor=2, mode="nearest"),  # 13
                 nn.Identity(),                        # 14 concat
-                C2fT(c[3] + c[2], c[2], d[0]),        # 15
-                ConvT(c[2], c[2], 3, 2),              # 16
+                C2fT(c[3] + c[2], c[2], d[0], ns),    # 15
+                ConvT(c[2], dn3, 3, 2),               # 16
                 nn.Identity(),                        # 17 concat
-                C2fT(c[2] + c[3], c[3], d[0]),        # 18
-                ConvT(c[3], c[3], 3, 2),              # 19
+                C2fT(dn3 + c[3], c[3], d[0], ns),     # 18
+                ConvT(c[3], dn4, 3, 2),               # 19
                 nn.Identity(),                        # 20 concat
-                C2fT(c[3] + c[4], c[4], d[0]),        # 21
+                C2fT(dn4 + c[4], c[4], d[0], ns),     # 21
                 DetectT(nc, reg_max, (c[2], c[3], c[4])),  # 22
             ]
         )
