@@ -99,7 +99,19 @@ def build_arg_parser() -> argparse.ArgumentParser:
         choices=["dense", "windowed", "pallas"],
         help="fused-path ROI crop implementation (ops/roi.py measurements)",
     )
+    p.add_argument(
+        "--stem_impl", default="xla", choices=["xla", "pallas"],
+        help="stem for identity-geometry frames: 'pallas' fuses the uint8 "
+        "cast + stem conv into one kernel (ops/pallas_stem.py)",
+    )
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    # TPU MXUs multiply float32 operands as bfloat16 by default; 'highest'
+    # uses true f32 multiplies (3-pass), measured 7e-4 px vs 3.3 px
+    # divergence from the reference graph at 640 — use for parity evals
+    p.add_argument(
+        "--matmul_precision", default=None,
+        choices=["default", "high", "highest"],
+    )
     # metric semantics: "reference" reproduces the reference evaluator
     # exactly (e2e.py:656-824) so CSV rows are comparable to its published
     # numbers; "ultralytics" is the stricter Ultralytics-contract evaluator
@@ -182,6 +194,10 @@ def main(argv=None) -> int:
 
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    if args.matmul_precision and args.matmul_precision != "default":
+        jax.config.update(
+            "jax_default_matmul_precision", args.matmul_precision
+        )
 
     import jax.numpy as jnp
     import numpy as np
@@ -260,6 +276,7 @@ def main(argv=None) -> int:
         cls_mean=cls_mean,
         cls_std=cls_std,
         roi_impl=args.roi_impl,
+        stem_impl=args.stem_impl,
     )
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 

@@ -38,13 +38,20 @@ class Backbone(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, train: bool = False
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        from_stem: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         c = self.cfg.channels  # (stem, p2, p3, p4, p5)
         d = self.cfg.depths  # C2f repeats per stage
         dt, fu = self.dtype, self.fused
 
-        x = ConvBN(c[0], 3, 2, dtype=dt, fused=fu, name="stem")(x, train)
+        if not from_stem:
+            x = ConvBN(c[0], 3, 2, dtype=dt, fused=fu, name="stem")(x, train)
+        # else: x is the precomputed stem activation (B, H/2, W/2, c0) from
+        # the Pallas fused letterbox+stem kernel (ops/pallas_stem.py); the
+        # stem params simply go unused (flax.apply tolerates extras)
         x = ConvBN(c[1], 3, 2, dtype=dt, fused=fu, name="down1")(x, train)
         x = C2f(c[1], d[0], shortcut=True, dtype=dt, fused=fu, name="c2f1")(x, train)
         x = ConvBN(c[2], 3, 2, dtype=dt, fused=fu, name="down2")(x, train)
@@ -155,10 +162,15 @@ class YoloLitePi(nn.Module):
     fused: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        from_stem: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
         x = x.astype(self.dtype)
         feats = Backbone(
             self.cfg, self.dtype, self.fused, name="backbone"
-        )(x, train)
+        )(x, train, from_stem)
         feats = PANNeck(self.cfg, self.dtype, self.fused, name="neck")(feats, train)
         return DetectHead(self.cfg, self.dtype, self.fused, name="head")(feats, train)

@@ -230,8 +230,41 @@ class TwoStagePipeline:
         size = cfg.det_input_size
         ratio, dw, dh, _, _ = letterbox_params(h, w, size)
 
-        canvas = letterbox_device(frames, size, self.det_model.dtype) * (1.0 / 255.0)
-        boxes, scores, class_ids = self._detect_jit(det_vars, canvas)
+        use_pallas_stem = (
+            cfg.stem_impl == "pallas"
+            and (h, w) == (size, size)
+            and frames.dtype == jnp.uint8
+            and self._candidate_decoder is None
+            and isinstance(self.det_model, YoloLitePi)
+            and self.det_model.fused
+            and size % 80 == 0
+        )
+        if use_pallas_stem:
+            # fused uint8 -> stem activations: no cast pass, no bf16 canvas
+            # in HBM (ops/pallas_stem.py).  1/255 is folded into the stem
+            # weights; the rest of the model runs from the stem output.
+            from litepi_tpu.ops.pallas_stem import pallas_stem
+
+            sp = det_vars["params"]["backbone"]["stem"]["conv"]
+            stem_act = pallas_stem(
+                frames,
+                sp["kernel"] * (1.0 / 255.0),
+                sp["bias"],
+                interpret=jax.default_backend() != "tpu",
+                out_dtype=self.det_model.dtype,
+            )
+            out = self.det_model.apply(
+                det_vars, stem_act, train=False, from_stem=True
+            )
+            boxes, scores, class_ids = decode_candidates(
+                out, self._anchors, self._strides,
+                cfg.detector.reg_max, cfg.nms.max_candidates,
+            )
+        else:
+            canvas = letterbox_device(
+                frames, size, self.det_model.dtype
+            ) * (1.0 / 255.0)
+            boxes, scores, class_ids = self._detect_jit(det_vars, canvas)
         b, s, c, v = nms_sorted(
             boxes,
             scores,

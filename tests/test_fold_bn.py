@@ -8,6 +8,7 @@ the pipeline constructor.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from litepi_tpu.core.types import YOLO_PLUS_V1, DetectorConfig, PipelineConfig
 from litepi_tpu.models import YoloLitePi
@@ -131,30 +132,39 @@ def test_fused_pipeline_pallas_roi_path():
     )
 
 
-def test_classifier_fold_exact_all_archs():
+# the two depthwise-heavy archs compile slowest on CPU; the fold algebra
+# they exercise is identical, so they live in the slow lane (fast lane
+# keeps the flagship ShuffleNetV2 and the densest arch)
+@pytest.mark.parametrize(
+    "arch",
+    [
+        "shufflenetv2",
+        "resnet18",
+        pytest.param("mobilenetv2", marks=pytest.mark.slow),
+        pytest.param("efficientnet", marks=pytest.mark.slow),
+    ],
+)
+def test_classifier_fold_exact(arch):
     """Deploy-form classifiers equal their unfused inference forward."""
     from litepi_tpu.models import build_classifier
     from litepi_tpu.models.registry import CLASSIFIER_BN_EPS
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
-    for arch in ("shufflenetv2", "resnet18", "mobilenetv2", "efficientnet"):
-        unfused = build_classifier(arch, 7)
-        fused = build_classifier(arch, 7, fused=True)
-        variables = unfused.init(jax.random.PRNGKey(0), x[:1])
-        # perturb running stats so the fold is non-trivial
-        variables = jax.tree_util.tree_map(
-            lambda a: a + 0.03 * np.random.default_rng(1)
-            .standard_normal(a.shape).astype(np.float32),
-            variables,
-        )
-        folded = fold_batchnorm(variables, eps=CLASSIFIER_BN_EPS)
-        assert not has_batchnorm(folded), arch
-        a = unfused.apply(variables, x, train=False)
-        b = fused.apply(folded, x, train=False)
-        np.testing.assert_allclose(
-            a, b, atol=5e-4, rtol=1e-3, err_msg=arch
-        )
+    unfused = build_classifier(arch, 7)
+    fused = build_classifier(arch, 7, fused=True)
+    variables = unfused.init(jax.random.PRNGKey(0), x[:1])
+    # perturb running stats so the fold is non-trivial
+    variables = jax.tree_util.tree_map(
+        lambda a: a + 0.03 * np.random.default_rng(1)
+        .standard_normal(a.shape).astype(np.float32),
+        variables,
+    )
+    folded = fold_batchnorm(variables, eps=CLASSIFIER_BN_EPS)
+    assert not has_batchnorm(folded), arch
+    a = unfused.apply(variables, x, train=False)
+    b = fused.apply(folded, x, train=False)
+    np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-3, err_msg=arch)
 
 
 def test_pipeline_folds_classifier_too():

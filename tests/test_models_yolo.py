@@ -1,6 +1,8 @@
 """Detector model structure tests: output contract, parameter budget, and
 config-family coverage (yolo_plus_v1/v2 per SURVEY §2.2)."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -70,8 +72,14 @@ def test_smaller_input_scales_anchors(v2_model_and_vars):
 
 
 def test_bf16_compute_stays_finite():
-    model = YoloLitePi(YOLO_PLUS_V2, dtype=jnp.bfloat16)
-    x = jax.random.uniform(jax.random.key(0), (1, 320, 320, 3))
+    # dtype discipline is config-independent: a tiny variant compiles 10x
+    # faster than the flagship and proves the same property
+    tiny = dataclasses.replace(
+        YOLO_PLUS_V2, name="tiny_bf16",
+        base_channels=(32, 64, 128, 256, 512), input_size=64,
+    )
+    model = YoloLitePi(tiny, dtype=jnp.bfloat16)
+    x = jax.random.uniform(jax.random.key(0), (1, 64, 64, 3))
     variables = model.init(jax.random.key(0), x, train=False)
     out = model.apply(variables, x, train=False)
     assert out["reg"].dtype == jnp.bfloat16  # logits stay in compute dtype

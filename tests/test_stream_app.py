@@ -58,14 +58,16 @@ def test_folder_mode(tmp_path):
     src = tmp_path / "imgs"
     src.mkdir()
     rng = np.random.default_rng(1)
-    for i in range(3):
+    # exactly one full batch: a trailing partial batch would compile a
+    # second program shape and double this test's cost for no coverage
+    for i in range(2):
         img = rng.integers(0, 255, (200, 320, 3), dtype=np.uint8)
         cv2.imwrite(str(src / f"i{i}.jpg"), img)
     out = tmp_path / "res"
     rc = main(["--mode", "folder", "--input", str(src), "--output", str(out)] + COMMON)
     assert rc == 0
     assert (out / "detections.csv").exists()
-    assert sorted(os.listdir(out)) == ["detections.csv", "i0.jpg", "i1.jpg", "i2.jpg"]
+    assert sorted(os.listdir(out)) == ["detections.csv", "i0.jpg", "i1.jpg"]
 
 
 def test_single_mode(tmp_path):

@@ -100,8 +100,15 @@ def test_native_and_cv2_paths_agree(pipe, jpeg_dir):
     va, vb = out_a["valid"], out_b["valid"]
     assert va.sum() == vb.sum()
     if va.any():
+        # decode/resize differ by ~1 LSB between the loaders, so
+        # NEAR-TIE detections may come back in a different score order;
+        # compare as canonically sorted sets, not positionally
+        def canon(boxes):
+            boxes = np.asarray(boxes, np.float64)
+            return boxes[np.lexsort(boxes.T[::-1])]
+
         np.testing.assert_allclose(
-            out_a["boxes"][va], out_b["boxes"][vb], atol=2.0
+            canon(out_a["boxes"][va]), canon(out_b["boxes"][vb]), atol=2.0
         )
     a.close()
     b.close()

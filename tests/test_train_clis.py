@@ -129,6 +129,7 @@ def test_train_classifier_resume_cursor(tmp_path):
     assert main(common + ["--epochs", "2", "--resume"]) == 0
 
 
+@pytest.mark.slow
 def test_train_classifier_cli(tmp_path):
     import cv2
 
