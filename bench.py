@@ -38,10 +38,6 @@ def main() -> None:
     p.add_argument("--max-det", type=int, default=16)
     p.add_argument("--max-candidates", type=int, default=256)
     p.add_argument(
-        "--stem-impl", default="xla", choices=["xla", "pallas"],
-        help="A/B the fused uint8 letterbox+stem kernel (ops/pallas_stem.py)",
-    )
-    p.add_argument(
         "--profile", default=None, metavar="DIR",
         help="capture a jax.profiler trace of the timed run into DIR",
     )
@@ -73,7 +69,6 @@ def main() -> None:
         nms=NMSConfig(
             max_candidates=args.max_candidates, max_detections=args.max_det
         ),
-        stem_impl=args.stem_impl,
     )
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     pipe = TwoStagePipeline.initialize(cfg, seed=0, dtype=dtype)
@@ -239,7 +234,6 @@ def main() -> None:
         "dtype": args.dtype,
         "device": str(jax.devices()[0]),
         "latency_ms_per_batch": round(dt / n_iters * 1e3, 3),
-        "stem_impl": args.stem_impl,
     }
     if latency:
         record["latency"] = latency

@@ -49,7 +49,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--detector_variant",
         default=None,  # resolved from --dataset preset when omitted
-        choices=["yolo_plus_v2", "yolo_plus_v1", "yolov8n", "yolov11n", "yolov5n"],
+        choices=["yolo_plus_v2", "yolo_plus_v1", "yolov8n", "yolov11n",
+                 "yolov5n", "yolov5n_legacy"],
     )
     # dataset preset: class count, shipped detector, classifier crop stats
     # (tt100k: 91 cls / v2 / 0.18/0.34; vntsr: 49 cls / v1 / per-channel
@@ -98,11 +99,6 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "--roi_impl", default="dense",
         choices=["dense", "windowed", "pallas"],
         help="fused-path ROI crop implementation (ops/roi.py measurements)",
-    )
-    p.add_argument(
-        "--stem_impl", default="xla", choices=["xla", "pallas"],
-        help="stem for identity-geometry frames: 'pallas' fuses the uint8 "
-        "cast + stem conv into one kernel (ops/pallas_stem.py)",
     )
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     # TPU MXUs multiply float32 operands as bfloat16 by default; 'highest'
@@ -249,6 +245,7 @@ def main(argv=None) -> int:
         # their actual models + decoders are built below
         "yolov11n": YOLOV8N,
         "yolov5n": YOLOV8N,
+        "yolov5n_legacy": YOLOV8N,
     }[args.detector_variant]
     det_cfg = DetectorConfig(
         **{
@@ -276,7 +273,6 @@ def main(argv=None) -> int:
         cls_mean=cls_mean,
         cls_std=cls_std,
         roi_impl=args.roi_impl,
-        stem_impl=args.stem_impl,
     )
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
@@ -290,6 +286,15 @@ def main(argv=None) -> int:
 
         det_model = YoloV11(num_classes=cfg.detector.num_classes, dtype=dtype)
     elif args.detector_variant == "yolov5n":
+        # the reference's deployed yolo5 is the u-variant (anchor-free DFL
+        # head, export-verified) — shared decode, no candidate decoder
+        from litepi_tpu.models.yolov5 import YoloV5
+
+        det_model = YoloV5(
+            num_classes=cfg.detector.num_classes, dtype=dtype,
+            anchor_free=True,
+        )
+    elif args.detector_variant == "yolov5n_legacy":
         from litepi_tpu.models.yolov5 import (
             YoloV5,
             v5_anchor_table,
@@ -313,7 +318,9 @@ def main(argv=None) -> int:
         det_model = None
     det = args.detector or ""
     artifact = args.detector_param or det.endswith((".xml", ".onnx", ".pt", ".pth"))
-    if artifact and args.detector_variant in ("yolov5n", "yolov11n"):
+    if artifact and args.detector_variant in (
+        "yolov5n", "yolov5n_legacy", "yolov11n"
+    ):
         print(
             "error: direct artifact loading covers the yolo_plus/yolov8 "
             "family; convert v5n/v11n weights to an orbax checkpoint with "

@@ -50,7 +50,8 @@ ALL_VARIANTS = (
     "yolo_plus_v1",
     "yolov8n",
     "yolov11n",
-    "yolov5n",
+    "yolov5n",  # the u-variant the reference actually deployed
+    "yolov5n_legacy",  # classic 3-prior anchor head + v5 decode
     "ssd300",
     "faster_rcnn",
 )
@@ -124,7 +125,7 @@ def make_harness(
 
     jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
 
-    if variant in LITE_VARIANTS or variant == "yolov11n":
+    if variant in LITE_VARIANTS or variant in ("yolov11n", "yolov5n"):
         from litepi_tpu.ops.anchors import make_anchors
         from litepi_tpu.ops.dfl import decode_candidates
 
@@ -132,6 +133,16 @@ def make_harness(
             from litepi_tpu.models.yolov11 import YoloV11
 
             model = YoloV11(num_classes=num_classes, dtype=jdtype)
+            reg_max = 16
+            strides = (8, 16, 32)
+        elif variant == "yolov5n":
+            # the deployed yolo5 artifact is the anchor-free u-variant
+            # (models/yolov5.py docstring) — same head contract as v8
+            from litepi_tpu.models.yolov5 import YoloV5
+
+            model = YoloV5(
+                num_classes=num_classes, dtype=jdtype, anchor_free=True
+            )
             reg_max = 16
             strides = (8, 16, 32)
         else:
@@ -164,7 +175,7 @@ def make_harness(
         )
         return DetectorHarness(variant, input_size, "letterbox", pre, infer, post)
 
-    if variant == "yolov5n":
+    if variant == "yolov5n_legacy":
         from litepi_tpu.models.yolov5 import (
             YoloV5,
             v5_anchor_table,

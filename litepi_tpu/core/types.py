@@ -243,11 +243,3 @@ class PipelineConfig:
     # window size for the "windowed" impl (the pallas kernel uses its own
     # static 128x256 slab)
     roi_window: int = 128
-    # Stem implementation for the fused serving path when frames arrive at
-    # the detector input size (identity letterbox):
-    #   "xla"    — cast pass + XLA conv (the conv is a fusion barrier, so
-    #              the bf16 canvas materialises in HBM);
-    #   "pallas" — fused uint8->stem kernel (ops/pallas_stem.py): reads raw
-    #              uint8 frames, no canvas, bias+SiLU in-register.
-    # Other geometries always use "xla".
-    stem_impl: str = "xla"

@@ -24,11 +24,13 @@ from flax import linen as nn
 
 from litepi_tpu.core.types import make_divisible, scale_depth
 from litepi_tpu.models.layers import Bottleneck, ConvBN, SPPF, upsample2x_nearest
-from litepi_tpu.models.yolov5 import C3
 
 
-class C3k(nn.Module):
-    """C3 with 2 inner 3x3 bottlenecks (v11's deep-stage inner block)."""
+class _HalfBottleneck(nn.Module):
+    """Ultralytics' default-expansion Bottleneck (e=0.5): 3x3 down to half
+    width, 3x3 back up, residual.  C3k2's plain inner block — confirmed by
+    the shipped v11n export (model.ncnn.param conv_6/conv_7: 16->8->16 3x3
+    pairs); v8's C2f variant (layers.Bottleneck) uses e=1.0 instead."""
 
     features: int
     shortcut: bool = True
@@ -36,15 +38,41 @@ class C3k(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
-        return C3(self.features, 2, self.shortcut, self.dtype, name="c3")(
-            x, train
-        )
+        y = ConvBN(
+            self.features // 2, 3, dtype=self.dtype, name="cv1"
+        )(x, train)
+        y = ConvBN(self.features, 3, dtype=self.dtype, name="cv2")(y, train)
+        if self.shortcut and x.shape[-1] == self.features:
+            y = x + y
+        return y
+
+
+class C3k(nn.Module):
+    """C3 with 2 inner bottlenecks whose BOTH convs are 3x3 (v11's
+    deep-stage inner block; v5's C3 uses 1x1+3x3 pairs — the shipped v11n
+    export shows four (c,c,3) convs per C3k, conv_17-20)."""
+
+    features: int
+    shortcut: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        hidden = self.features // 2
+        a = ConvBN(hidden, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(2):
+            a = Bottleneck(hidden, self.shortcut, self.dtype, name=f"m{i}")(
+                a, train
+            )
+        b = ConvBN(hidden, 1, dtype=self.dtype, name="cv2")(x, train)
+        y = jnp.concatenate([a, b], axis=-1)
+        return ConvBN(self.features, 1, dtype=self.dtype, name="cv3")(y, train)
 
 
 class C3k2(nn.Module):
     """v11's CSP block: C2f whose inner modules are C3k (deep stages) or
-    plain bottlenecks (nano's early stages).  ``e`` controls the hidden
-    width (0.25 on the first two backbone stages)."""
+    half-expansion bottlenecks (nano's early stages).  ``e`` controls the
+    hidden width (0.25 on the first two backbone stages)."""
 
     features: int
     n: int = 1
@@ -63,9 +91,9 @@ class C3k2(nn.Module):
             if self.c3k:
                 b = C3k(hidden, self.shortcut, self.dtype, name=f"m{i}")(b, train)
             else:
-                b = Bottleneck(hidden, self.shortcut, self.dtype, name=f"m{i}")(
-                    b, train
-                )
+                b = _HalfBottleneck(
+                    hidden, self.shortcut, self.dtype, name=f"m{i}"
+                )(b, train)
             outs.append(b)
         y = jnp.concatenate(outs, axis=-1)
         return ConvBN(self.features, 1, dtype=self.dtype, name="cv2")(y, train)

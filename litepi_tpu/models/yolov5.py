@@ -1,17 +1,24 @@
-"""YOLOv5n baseline detector (anchor-based) in Flax (NHWC).
+"""YOLOv5n baseline detector in Flax (NHWC) — u-variant and classic heads.
 
 The reference retrains and benchmarks YOLOv5n alongside v8n/v11n and the
-custom model (reference: README.md:39, train-model-tsd-*.ipynb; exported
-graph src/tt100k/convert/model/yolo5/yolo5_ncnn_model/model.ncnn.param).
-Unlike the anchor-free v8 family, v5 is anchor-BASED: three prior boxes per
-level, each cell predicting (xy, wh, objectness, classes) with the v5 decode
+custom model (reference: README.md:39, train-model-tsd-*.ipynb).  Its
+DEPLOYED artifact is the **v5u** form: Ultralytics 8.x maps yolov5n to the
+v5 backbone/neck with the anchor-FREE v8 DFL Detect head — confirmed
+against the shipped export (src/tt100k/convert/model/yolo5/yolo5_ncnn_model/
+model.ncnn.param: head convs (64,·,3)x2 + 1x1 per branch and the 16-bin
+DFL conv_77, no 3-prior 1x1 heads).  ``anchor_free=True`` (the e2e/bench
+default for variant 'yolov5n') builds exactly that graph; the classic
+anchor-BASED head (3 priors/cell, v5 sigmoid decode
 
     xy = (2*sigmoid(t_xy) - 0.5 + grid) * stride
     wh = (2*sigmoid(t_wh))^2 * anchor_prior
 
-Architecture (v6.0 yaml at width 0.25 / depth 0.33): 6x6/2 stem conv,
-Conv+C3 stages with repeats (1,2,3,1), SPPF, PAN neck with C3 blocks,
-per-level 1x1 prediction convs.
+) remains available as ``anchor_free=False`` ('yolov5n_legacy') together
+with its anchor-based loss (train/yolov5_loss.py).
+
+Shared architecture (v6.0 yaml at width 0.25 / depth 0.33): 6x6/2 stem
+conv, Conv+C3 stages with repeats (1,2,3,1), SPPF, PAN neck with 1x1
+pre-upsample reduces and C3 blocks.
 """
 
 from __future__ import annotations
@@ -35,14 +42,17 @@ V5_ANCHORS: Tuple[Tuple[Tuple[float, float], ...], ...] = (
 
 
 class BottleneckV5(nn.Module):
+    """C3's inner block: 1x1 then 3x3 at FULL width (e=1.0 — Ultralytics
+    C3 passes e=1.0 to its bottlenecks; export-verified, the shipped yolo5
+    graph shows (16,16,1)+(16,16,3) pairs, model.ncnn.param conv_5/6)."""
+
     features: int
     shortcut: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train=False):
-        hidden = self.features // 2
-        y = ConvBN(hidden, 1, dtype=self.dtype, name="cv1")(x, train)
+        y = ConvBN(self.features, 1, dtype=self.dtype, name="cv1")(x, train)
         y = ConvBN(self.features, 3, dtype=self.dtype, name="cv2")(y, train)
         if self.shortcut and x.shape[-1] == self.features:
             y = x + y
@@ -72,12 +82,19 @@ class C3(nn.Module):
 
 
 class YoloV5(nn.Module):
-    """YOLOv5 detector; default scales give v5n."""
+    """YOLOv5 detector; default scales give v5n.
+
+    ``anchor_free=True`` = the u-variant (v8 DFL head, ``{reg, cls}``
+    output contract shared with YoloLitePi — decode/NMS/eval/TAL loss all
+    plug in); ``False`` = the classic 3-prior head (``{pred}`` contract,
+    v5 decode + v5 loss)."""
 
     num_classes: int = 1
     width: float = 0.25
     depth: float = 0.33
     dtype: jnp.dtype = jnp.float32
+    anchor_free: bool = False
+    reg_max: int = 16
 
     @property
     def channels(self):
@@ -121,7 +138,31 @@ class YoloV5(nn.Module):
             jnp.concatenate([b5, t5], axis=-1), train
         )
 
-        # anchor-based head: 3 priors x (4 + 1 + nc) per cell, 1x1 conv
+        if self.anchor_free:
+            # v5u: the v8 DFL Detect head (model.ncnn.param conv_59-76)
+            c_reg = max(16, c[2] // 4, 4 * self.reg_max)
+            c_cls = max(c[2], min(self.num_classes, 100))
+            reg_out, cls_out = [], []
+            for i, f in enumerate((n3, n4, n5)):
+                r = ConvBN(c_reg, 3, dtype=dt, name=f"reg{i}_cv1")(f, train)
+                r = ConvBN(c_reg, 3, dtype=dt, name=f"reg{i}_cv2")(r, train)
+                r = nn.Conv(
+                    4 * self.reg_max, (1, 1), dtype=dt, name=f"reg{i}_out"
+                )(r)
+                k = ConvBN(c_cls, 3, dtype=dt, name=f"cls{i}_cv1")(f, train)
+                k = ConvBN(c_cls, 3, dtype=dt, name=f"cls{i}_cv2")(k, train)
+                k = nn.Conv(
+                    self.num_classes, (1, 1), dtype=dt, name=f"cls{i}_out"
+                )(k)
+                b = f.shape[0]
+                reg_out.append(r.reshape(b, -1, 4 * self.reg_max))
+                cls_out.append(k.reshape(b, -1, self.num_classes))
+            return {
+                "reg": jnp.concatenate(reg_out, 1),
+                "cls": jnp.concatenate(cls_out, 1),
+            }
+
+        # classic anchor-based head: 3 priors x (4 + 1 + nc) per cell, 1x1
         no = 3 * (5 + self.num_classes)
         outs = []
         for i, f in enumerate((n3, n4, n5)):

@@ -1,28 +1,37 @@
-"""Pallas TPU kernel: fused uint8 letterbox-canvas -> stem conv + SiLU.
+"""Pallas TPU kernel: fused uint8 frames -> stem conv + SiLU.
 
-Why this exists (PARITY perf notes, round 2b): the 3x3/s2 stem conv costs
+STATUS (round 3): RETAINED EXPERIMENT — numerically correct (interpreter-
+mode golden tests, tests/test_pallas_stem.py) but NOT lowerable by Mosaic
+on real TPU, so the serving pipeline does not use it.
+
+Why it was built (PARITY perf notes, round 2b): the 3x3/s2 stem conv costs
 2.7 ms of the 10.8 ms detector forward at B=128 while its HBM traffic floor
 is ~0.9 ms — the conv is bandwidth/layout-bound, not MXU-bound (3 input
 channels fill 3/128 lanes).  Worse, XLA's convolution is a fusion BARRIER:
 the uint8 frames must first materialise as a bfloat16 canvas (a separate
-cast pass writing + re-reading ~0.5 GB at B=128) because elementwise
-producers cannot fuse into the conv custom-call.  This kernel:
+cast pass) because elementwise producers cannot fuse into the conv
+custom-call.  The kernel reads raw uint8 rows, builds stride-2 im2col
+patches in-register, and runs one (40*W/2, 27)x(27, C_out) matmul per
+row chunk with bias + SiLU fused.
 
-* reads the raw uint8 frames straight from HBM (no cast pass, no canvas);
-* computes the stride-2 3x3 stem as an im2col matmul per 40-row chunk
-  (patches (12800, 27) x weights (27, C_out) on the MXU);
-* applies bias + SiLU in-register and writes bfloat16 stem activations.
+Why it cannot lower (the measured dead end):
+
+* patch construction from interleaved NHWC rows needs minor-dim (lane)
+  regrouping — ``(W*3,) -> (W/2, 6)`` — which Mosaic rejects as an
+  "unsupported shape cast" (so do stride-2/stride-6 lane selections, and
+  ``dynamic_slice`` has no TC lowering at all; static ``a[i:j]`` slices
+  and SUBLANE-side reshapes are fine);
+* every reformulation that keeps lane dims intact (even/odd width phase
+  split, channel-planar or width-on-sublane transposes) needs 2-3
+  host-side XLA relayout passes over the frames plus a VPU-side 27-tap
+  accumulation — together they cost as much HBM traffic/compute as the
+  ~1 ms the kernel would save, so the XLA letterbox+stem stays.
 
 The 1/255 input normalisation and the deploy-form BN fold are algebraic
 weight transforms applied by the CALLER (scale the conv weights by 1/255;
 fold_bn handles BN) so the kernel consumes 0..255 uint8 directly.
-
-Only the identity-letterbox geometry (frames already at the detector input
-size — the serving/bench hot path) routes here; other resolutions keep the
-XLA letterbox + in-model stem.  Numerics: all accumulation in float32,
-output bfloat16 — same contract as the in-model fused ConvBN stem.
-Correctness is golden-tested against the XLA path in interpreter mode off
-TPU and on chip (tests/test_pallas_stem.py).
+``YoloLitePi.apply(..., from_stem=True)`` remains as the integration hook
+should a future Mosaic release lift the lane-split restriction.
 
 Reference anchor: the stem is layer conv_2/silu_69 of the exported graph
 (model.ncnn.param:4-5, 16ch 3x3 s2 at 640 -> 320).
@@ -47,28 +56,28 @@ def _make_kernel(h: int, w: int, c_out: int, use_mxu: bool):
     n_chunks = oh // _CHUNK_OUT_ROWS
 
     def kernel(img_ref, w_ref, b_ref, out_ref):
-        # (h, w*3) uint8 -> float32 once; pad 1 pixel (=3 lanes) each side
-        x = img_ref[0].astype(jnp.float32)
+        # (h, w*3) uint8 -> float32 once; pad 1 pixel (=3 lanes) each side.
+        # Mosaic has no direct u8->f32 cast; zero-extend through int32.
+        x = img_ref[0].astype(jnp.int32).astype(jnp.float32)
         xp = jnp.pad(x, ((1, 1), (3, 3)))  # (h+2, w*3+6)
         wk = w_ref[...].astype(jnp.float32)  # (32, c_out): 27 taps + 5 pad
         bias = b_ref[...].astype(jnp.float32)  # (1, c_out)
 
         for chunk in range(n_chunks):
-            # local rows 2r+dy for out rows r in [0, 40); 82 padded rows
-            rows = jax.lax.dynamic_slice_in_dim(
-                xp, chunk * 2 * _CHUNK_OUT_ROWS, 2 * _CHUNK_OUT_ROWS + 2, 0
-            )
+            # local rows 2r+dy for out rows r in [0, 40); 82 padded rows.
+            # All slice bounds are static python ints -> the `slice`
+            # primitive (Mosaic has no dynamic_slice lowering).
+            r0 = chunk * 2 * _CHUNK_OUT_ROWS
+            rows = xp[r0 : r0 + 2 * _CHUNK_OUT_ROWS + 2]
             taps = []
             for dy in range(3):
                 # rows 2r+dy via sublane-pair split
-                sub = jax.lax.dynamic_slice_in_dim(
-                    rows, dy, 2 * _CHUNK_OUT_ROWS, 0
-                ).reshape(_CHUNK_OUT_ROWS, 2, w * 3 + 6)[:, 0]
+                sub = rows[dy : dy + 2 * _CHUNK_OUT_ROWS].reshape(
+                    _CHUNK_OUT_ROWS, 2, w * 3 + 6
+                )[:, 0]
                 for dx in range(3):
                     # lanes (2x+dx)*3 + c  ==  6x + 3*dx + c (pre-pad space)
-                    shifted = jax.lax.dynamic_slice_in_dim(
-                        sub, 3 * dx, w * 3, 1
-                    )
+                    shifted = sub[:, 3 * dx : 3 * dx + w * 3]
                     patch = shifted.reshape(_CHUNK_OUT_ROWS, ow, 6)[..., 0:3]
                     taps.append(patch)
             if use_mxu:

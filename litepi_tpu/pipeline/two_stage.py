@@ -230,41 +230,12 @@ class TwoStagePipeline:
         size = cfg.det_input_size
         ratio, dw, dh, _, _ = letterbox_params(h, w, size)
 
-        use_pallas_stem = (
-            cfg.stem_impl == "pallas"
-            and (h, w) == (size, size)
-            and frames.dtype == jnp.uint8
-            and self._candidate_decoder is None
-            and isinstance(self.det_model, YoloLitePi)
-            and self.det_model.fused
-            and size % 80 == 0
-        )
-        if use_pallas_stem:
-            # fused uint8 -> stem activations: no cast pass, no bf16 canvas
-            # in HBM (ops/pallas_stem.py).  1/255 is folded into the stem
-            # weights; the rest of the model runs from the stem output.
-            from litepi_tpu.ops.pallas_stem import pallas_stem
-
-            sp = det_vars["params"]["backbone"]["stem"]["conv"]
-            stem_act = pallas_stem(
-                frames,
-                sp["kernel"] * (1.0 / 255.0),
-                sp["bias"],
-                interpret=jax.default_backend() != "tpu",
-                out_dtype=self.det_model.dtype,
-            )
-            out = self.det_model.apply(
-                det_vars, stem_act, train=False, from_stem=True
-            )
-            boxes, scores, class_ids = decode_candidates(
-                out, self._anchors, self._strides,
-                cfg.detector.reg_max, cfg.nms.max_candidates,
-            )
-        else:
-            canvas = letterbox_device(
-                frames, size, self.det_model.dtype
-            ) * (1.0 / 255.0)
-            boxes, scores, class_ids = self._detect_jit(det_vars, canvas)
+        # A fused uint8->stem Pallas kernel was built and golden-tested
+        # (ops/pallas_stem.py) but is NOT wired here: Mosaic cannot lower
+        # the interleaved-NHWC lane regrouping it needs (round-3 measured
+        # dead end — see the kernel's docstring for the full account).
+        canvas = letterbox_device(frames, size, self.det_model.dtype) * (1.0 / 255.0)
+        boxes, scores, class_ids = self._detect_jit(det_vars, canvas)
         b, s, c, v = nms_sorted(
             boxes,
             scores,

@@ -212,3 +212,100 @@ def test_three_format_converted_forward_agree():
                                       err_msg=ks)
         np.testing.assert_array_equal(np.asarray(v), np.asarray(flat_x[ks]),
                                       err_msg=ks)
+
+
+@needs_reference
+def test_stock_yolov8n_topology_matches_reference_export():
+    """The baseline YOLOv8n config matches the reference's shipped yolo8
+    NCNN export layer by layer (conv plan incl. head widths at nc=1) —
+    the stock-v8 emission order is the same as yolo_plus's, only channel
+    math differs (reference: src/tt100k/convert/model/yolo8/)."""
+    from litepi_tpu.core.types import YOLOV8N
+    from litepi_tpu.weights.ncnn_import import (
+        parse_ncnn_param,
+        verify_ncnn_topology,
+    )
+
+    for tree in ("tt100k", "vntsr"):
+        layers = parse_ncnn_param(
+            f"{REF}/{tree}/convert/model/yolo8/yolo8_ncnn_model/"
+            "model.ncnn.param"
+        )
+        mapping = verify_ncnn_topology(layers, YOLOV8N)
+        assert len(mapping) == 64
+
+
+def _param_conv_multiset(path):
+    """(out, in, k) multiset of every conv in a .param graph; depthwise
+    convs report in=1 (the per-group fan-in, matching Flax kernel shape)."""
+    import collections
+
+    from litepi_tpu.weights.ncnn_import import parse_ncnn_param
+
+    out = collections.Counter()
+    for l in parse_ncnn_param(path):
+        if l.type in ("Convolution", "ConvolutionDepthWise"):
+            o = int(l.attr(0))
+            k = int(l.attr(1, 1))
+            ws = int(l.attr(6))
+            g = int(l.attr(7, 1)) if l.type == "ConvolutionDepthWise" else 1
+            out[(o, ws // (o * k * k) * g if g == 1 else 1, k)] += 1
+    return out
+
+
+def _model_conv_multiset(model, size=640):
+    import collections
+
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.zeros((1, size, size, 3))
+    vs = jax.eval_shape(lambda: model.init(jax.random.key(0), x, train=False))
+    out = collections.Counter()
+
+    def walk(tree):
+        for v in tree.values():
+            if isinstance(v, dict):
+                if "kernel" in v and getattr(v["kernel"], "ndim", 0) == 4:
+                    kh, kw, i, o = v["kernel"].shape
+                    out[(o, i, kh)] += 1
+                else:
+                    walk(v)
+
+    walk(vs["params"])
+    return out
+
+
+@needs_reference
+def test_yolov11n_convs_match_reference_export():
+    """Our YoloV11's full conv inventory equals the shipped v11n export's
+    (order-free multiset; only the in-graph DFL constant is ops-side).
+    This check caught two structural bugs: C3k2's plain bottlenecks use
+    e=0.5 (16->8->16), and C3k bottlenecks are 3x3+3x3 (not v5's 1x1+3x3).
+    """
+    from litepi_tpu.models.yolov11 import YoloV11
+
+    ref = _param_conv_multiset(
+        f"{REF}/tt100k/convert/model/yolo11/yolo11_ncnn_model/"
+        "model.ncnn.param"
+    )
+    ours = _model_conv_multiset(YoloV11(num_classes=1))
+    ref.subtract(ours)
+    leftover = +ref
+    assert dict(leftover) == {(1, 16, 1): 1}, dict(leftover)  # DFL only
+
+
+@needs_reference
+def test_yolov5nu_convs_match_reference_export():
+    """The reference's deployed 'yolo5' is the u-variant (v8 DFL head on
+    the v5 body — Ultralytics 8.x maps yolov5n there).  Our
+    YoloV5(anchor_free=True) must match its conv inventory exactly."""
+    from litepi_tpu.models.yolov5 import YoloV5
+
+    ref = _param_conv_multiset(
+        f"{REF}/tt100k/convert/model/yolo5/yolo5_ncnn_model/model.ncnn.param"
+    )
+    ours = _model_conv_multiset(YoloV5(num_classes=1, anchor_free=True))
+    ref.subtract(ours)
+    leftover = +ref
+    assert dict(leftover) == {(1, 16, 1): 1}, dict(leftover)  # DFL only

@@ -1,8 +1,12 @@
-"""Fused uint8 letterbox+stem Pallas kernel: golden parity vs the XLA path.
+"""Fused uint8 letterbox+stem Pallas kernel: golden parity vs the XLA conv.
 
-Runs in Pallas interpreter mode off-TPU (tests/conftest.py pins CPU); the
-same code path compiles with Mosaic on chip, where bench.py A/Bs it
-(PipelineConfig.stem_impl)."""
+The kernel is a RETAINED EXPERIMENT (round 3): numerically correct (these
+tests, interpreter mode) but not lowerable by Mosaic on real TPU — the
+interleaved-NHWC lane regrouping it needs ((W*3,) -> (W/2, 6) minor-dim
+splits) is an unsupported shape cast, and reformulations that avoid lane
+splits need host-side phase-split/transpose passes that cost as much HBM
+traffic as the canvas they'd save.  See ops/pallas_stem.py's docstring for
+the full account; the serving pipeline keeps the XLA letterbox+stem."""
 
 import numpy as np
 import pytest
@@ -37,45 +41,39 @@ def test_kernel_matches_xla_conv(use_mxu):
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
-def test_fused_pipeline_parity_pallas_vs_xla_stem():
-    """The full serving program with stem_impl='pallas' must reproduce the
-    XLA-stem program's detections on identity-geometry uint8 frames."""
-    import dataclasses
-
+def test_model_runs_from_precomputed_stem():
+    """YoloLitePi(from_stem=True) consumes precomputed stem activations
+    and reproduces the normal forward (the integration hook the kernel
+    would use; kept functional for a future lowering)."""
+    import jax
     import jax.numpy as jnp
 
-    from litepi_tpu.core.types import (
-        DetectorConfig,
-        NMSConfig,
-        PipelineConfig,
-    )
-    from litepi_tpu.pipeline.two_stage import TwoStagePipeline
+    from litepi_tpu.core.types import DetectorConfig
+    from litepi_tpu.models.init_utils import fast_init
+    from litepi_tpu.models.yolo import YoloLitePi
 
-    det = DetectorConfig(
-        name="tiny", base_channels=(32, 64, 128, 256, 512), input_size=160
+    cfg = DetectorConfig(
+        name="tiny_fs", base_channels=(32, 64, 128, 256, 512), input_size=64
     )
-    base = PipelineConfig(
-        detector=det,
-        nms=NMSConfig(max_candidates=64, max_detections=8),
-        det_input_size=160,
-        cls_input_size=32,
-        num_classifier_classes=5,
+    model = YoloLitePi(cfg)
+    variables = fast_init(model, seed=0)
+    x = jnp.asarray(
+        np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32
     )
-    rng = np.random.RandomState(1)
-    frames = rng.randint(0, 256, (2, 160, 160, 3), dtype=np.uint8)
+    full = model.apply(variables, x, train=False)
+    # compute the stem exactly as the backbone does, then feed from_stem
+    from litepi_tpu.models.layers import ConvBN
 
-    outs = {}
-    for impl in ("xla", "pallas"):
-        cfg = dataclasses.replace(base, stem_impl=impl)
-        pipe = TwoStagePipeline.initialize(cfg, seed=0, dtype=jnp.float32)
-        outs[impl] = {
-            k: np.asarray(v)
-            for k, v in pipe.run_fused(frames, conf_threshold=0.01).items()
-        }
-    np.testing.assert_array_equal(outs["xla"]["valid"], outs["pallas"]["valid"])
+    stem = ConvBN(cfg.channels[0], 3, 2)
+    stem_vars = {
+        "params": variables["params"]["backbone"]["stem"],
+        "batch_stats": variables["batch_stats"]["backbone"]["stem"],
+    }
+    act = stem.apply(stem_vars, x, False)
+    part = model.apply(variables, act, train=False, from_stem=True)
     np.testing.assert_allclose(
-        outs["xla"]["det_scores"], outs["pallas"]["det_scores"], atol=2e-3
+        np.asarray(full["reg"]), np.asarray(part["reg"]), atol=1e-5
     )
     np.testing.assert_allclose(
-        outs["xla"]["boxes"], outs["pallas"]["boxes"], atol=0.5
+        np.asarray(full["cls"]), np.asarray(part["cls"]), atol=1e-5
     )
