@@ -27,7 +27,10 @@ def main(argv=None) -> int:
     p.add_argument("--val_labels", default=None)
     p.add_argument(
         "--variant", default="yolo_plus_v2",
-        choices=["yolo_plus_v2", "yolo_plus_v1", "yolov8n"],
+        choices=["yolo_plus_v2", "yolo_plus_v1", "yolov8n", "yolov11n",
+                 "yolov5n"],
+        help="yolov5n = the u-variant the reference deployed (anchor-free "
+        "DFL head, trains under the same TAL loss as the v8 family)",
     )
     p.add_argument("--num_classes", type=int, default=1)
     p.add_argument("--imgsz", type=int, default=640)
@@ -92,10 +95,28 @@ def main(argv=None) -> int:
         "yolo_plus_v2": YOLO_PLUS_V2,
         "yolo_plus_v1": YOLO_PLUS_V1,
         "yolov8n": YOLOV8N,
+        # v11n/v5nu share v8n's stride-8/16/32 grid + reg_max for the TAL
+        # loss; their actual models are injected below
+        "yolov11n": YOLOV8N,
+        "yolov5n": YOLOV8N,
     }[args.variant]
     cfg = dataclasses.replace(
         base, num_classes=args.num_classes, input_size=args.imgsz
     )
+    custom_model = None
+    if args.variant == "yolov11n":
+        from litepi_tpu.models.yolov11 import YoloV11
+
+        custom_model = YoloV11(
+            num_classes=args.num_classes, dtype=jnp.bfloat16
+        )
+    elif args.variant == "yolov5n":
+        from litepi_tpu.models.yolov5 import YoloV5
+
+        custom_model = YoloV5(
+            num_classes=args.num_classes, dtype=jnp.bfloat16,
+            anchor_free=True,
+        )
 
     dataset = DetectionDataset(
         args.images,
@@ -134,8 +155,11 @@ def main(argv=None) -> int:
         dtype=jnp.bfloat16,
         total_steps=args.epochs * steps,
         warmup_steps=min(3, args.epochs) * steps,
+        model=custom_model,
     )
-    step_fn = jax.jit(functools.partial(detector_train_step, model, tx))
+    step_fn = jax.jit(
+        functools.partial(detector_train_step, model, tx, cfg=cfg)
+    )
 
     mesh = None
     if args.data_parallel > 1:
@@ -178,7 +202,11 @@ def main(argv=None) -> int:
             pcfg.classifier_arch, pcfg.num_classifier_classes
         )
         pipe = TwoStagePipeline(
-            pcfg, det_vars, fast_init(cls_model, seed=1), dtype=jnp.bfloat16
+            pcfg, det_vars, fast_init(cls_model, seed=1),
+            dtype=jnp.bfloat16,
+            # custom baselines (v11/v5u) validate through their own model;
+            # the yolo_plus family uses the pipeline's deploy-form default
+            det_model=custom_model,
         )
         ev = PipelineEvaluator(pipe)
         paths = sample_images(args.val_images)

@@ -105,10 +105,20 @@ def create_detector_train_state(
     dtype: jnp.dtype = jnp.bfloat16,
     total_steps: int = 0,
     warmup_steps: int = 0,
+    model: Any = None,
 ) -> Tuple[YoloLitePi, DetectorTrainState, optax.GradientTransformation]:
+    """Build (model, train state, optimizer).
+
+    ``model`` overrides the default YoloLitePi — any detector with the
+    ``{reg, cls}`` head contract trains under the same TAL loss (the
+    baseline fine-tuning path: YoloV11, YoloV5(anchor_free=True)); ``cfg``
+    then only supplies the anchor grid / reg_max for the loss (pass it to
+    :func:`detector_train_step` explicitly, such models carry no ``.cfg``).
+    """
     from litepi_tpu.models.init_utils import fast_init
 
-    model = YoloLitePi(cfg, dtype=dtype)
+    if model is None:
+        model = YoloLitePi(cfg, dtype=dtype)
     variables = fast_init(model, seed=seed)
     tx = make_optimizer(lr, total_steps=total_steps, warmup_steps=warmup_steps)
     state = DetectorTrainState(
@@ -141,6 +151,7 @@ def detector_train_step(
     tx: optax.GradientTransformation,
     state: DetectorTrainState,
     batch: Dict[str, jnp.ndarray],
+    cfg: DetectorConfig = None,
 ) -> Tuple[DetectorTrainState, Dict[str, jnp.ndarray]]:
     """One optimization step.
 
@@ -148,8 +159,10 @@ def detector_train_step(
     pixels (padded); gt_labels (B, G); gt_mask (B, G) bool.
     Wrap with ``jax.jit(functools.partial(detector_train_step, model, tx),
     donate_argnums=0)`` and shard the batch over the mesh's data axis.
+    ``cfg`` (anchor grid + reg_max for the loss) defaults to ``model.cfg``;
+    required for models without one (YoloV11 / anchor-free YoloV5).
     """
-    cfg = model.cfg
+    cfg = cfg if cfg is not None else model.cfg
     anchors, strides = make_anchors(cfg.input_size, cfg.strides)
     anchors = jnp.asarray(anchors)
     strides = jnp.asarray(strides)

@@ -222,3 +222,31 @@ def test_one_cycle_lr_schedule_shape():
     # monotone decay after warmup
     vals = [float(sched(t)) for t in range(100, 1001, 100)]
     assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("variant", ["yolov5u", "yolov11"])
+def test_baseline_models_train_under_tal_loss(variant):
+    """v11n and the anchor-free v5u share the {reg, cls} contract, so the
+    TAL train step covers baseline fine-tuning (reference trains all its
+    baselines — train-model-tsd-*.ipynb).  cfg supplies only the grid."""
+    if variant == "yolov5u":
+        from litepi_tpu.models.yolov5 import YoloV5
+
+        model = YoloV5(num_classes=1, width=0.125, anchor_free=True)
+    else:
+        from litepi_tpu.models.yolov11 import YoloV11
+
+        model = YoloV11(num_classes=1, width=0.125)
+
+    _, state, tx = create_detector_train_state(TINY, model=model)
+    step = jax.jit(
+        functools.partial(detector_train_step, model, tx, cfg=TINY)
+    )
+    batch = _tiny_batch(np.random.default_rng(3))
+    losses = []
+    for _ in range(3):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
