@@ -91,9 +91,6 @@ def main(argv=None) -> int:
 
         bin_path = args.bin or os.path.splitext(args.input)[0] + ".bin"
         if args.input.endswith(".param"):
-            # NCNN names the pair model.ncnn.param/.bin
-            if args.bin is None and args.input.endswith(".ncnn.param"):
-                bin_path = args.input[: -len(".param")] + ".bin"
             from litepi_tpu.weights.ncnn_import import convert_detector_ncnn
 
             variables, matched = convert_detector_ncnn(

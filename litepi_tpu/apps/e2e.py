@@ -148,12 +148,13 @@ def main(argv=None) -> int:
         )
 
         try:
-            inferred_variant = infer_detector_config(
+            inferred_cfg = infer_detector_config(
                 parse_ncnn_param(args.detector_param)
-            ).name
+            )
         except (OSError, ValueError) as e:
             print(f"error: --detector_param: {e}", file=sys.stderr)
             return 2
+        inferred_variant = inferred_cfg.name
     elif args.detector and args.detector.endswith(".xml"):
         from litepi_tpu.core.types import YOLO_PLUS_V1, YOLO_PLUS_V2
         from litepi_tpu.weights.openvino_import import (
@@ -163,11 +164,13 @@ def main(argv=None) -> int:
         for cand in (YOLO_PLUS_V2, YOLO_PLUS_V1):
             try:
                 verify_openvino_topology(args.detector, cand)
+                inferred_cfg = cand
                 inferred_variant = cand.name
                 break
             except ValueError:
                 continue
-            except OSError as e:
+            # SyntaxError covers xml.etree's ParseError on malformed IRs
+            except (OSError, SyntaxError) as e:
                 print(f"error: --detector: {e}", file=sys.stderr)
                 return 2
         if inferred_variant is None:
@@ -331,17 +334,28 @@ def main(argv=None) -> int:
     if args.detector_param:
         from litepi_tpu.weights.ncnn_import import convert_detector_ncnn
 
-        det_vars, _ = convert_detector_ncnn(
-            args.detector_param, args.detector_bin
-        )
+        try:
+            # inferred_cfg from the early topology probe skips re-inference
+            det_vars, _ = convert_detector_ncnn(
+                args.detector_param, args.detector_bin, inferred_cfg
+            )
+        except (OSError, ValueError) as e:
+            print(f"error: --detector_bin: {e}", file=sys.stderr)
+            return 2
     elif det.endswith(".xml"):
         from litepi_tpu.weights.openvino_import import (
             convert_detector_openvino,
         )
 
-        det_vars, _ = convert_detector_openvino(
-            det, args.detector_bin or det[: -len(".xml")] + ".bin"
-        )
+        try:
+            det_vars, _ = convert_detector_openvino(
+                det,
+                args.detector_bin or det[: -len(".xml")] + ".bin",
+                inferred_cfg,
+            )
+        except (OSError, ValueError) as e:
+            print(f"error: --detector: {e}", file=sys.stderr)
+            return 2
     elif det.endswith(".onnx"):
         from litepi_tpu.weights.onnx_import import convert_detector_onnx
 

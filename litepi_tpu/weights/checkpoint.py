@@ -95,17 +95,23 @@ def load_train_checkpoint(
     of :func:`save_train_checkpoint`), it is PROMOTED back to ``path``
     before restoring — otherwise the next epoch's save would delete the
     sole surviving resume point as "stale" before its replacement exists,
-    reopening the data-loss window the swap closes.
+    reopening the data-loss window the swap closes.  Multi-host: only
+    process 0 renames, and every process waits on a global barrier before
+    reading, so no process can race the rename (requires the shared
+    checkpoint filesystem the train CLI's resume-epoch agreement check
+    already enforces).
     """
     import numpy as np
 
     abspath = os.path.abspath(path)
-    if not os.path.isdir(abspath) and os.path.isdir(abspath + ".old"):
-        if jax.process_index() == 0:
-            os.rename(abspath + ".old", abspath)
-        else:  # non-0 processes read whichever name exists right now
-            if not os.path.isdir(abspath):
-                path = path + ".old"
+    if jax.process_index() == 0 and (
+        not os.path.isdir(abspath) and os.path.isdir(abspath + ".old")
+    ):
+        os.rename(abspath + ".old", abspath)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("litepi_resume_promote")
     if meta_template is not None:
         tpl = {
             "state": like_state,

@@ -503,9 +503,25 @@ def run_ncnn_graph(
             sw, sh = int(layer.attr(2, 1)), int(layer.attr(12, layer.attr(2, 1)))
             pl = int(layer.attr(3, 0))
             pt = int(layer.attr(13, pl))
+            pr = int(layer.attr(14, pl))
+            pb = int(layer.attr(15, pt))
+            # pad-mode 1 = valid/floor — the only mode the yolo_plus SPPF
+            # poolings use (model.ncnn.param: "5=1"); full/ceil and SAME
+            # modes change the output-size arithmetic, so refuse them
+            # rather than silently mis-padding the golden oracle
+            mode = int(layer.attr(5, 0))
+            if mode != 1:
+                raise ValueError(
+                    f"{layer.name}: Pooling pad-mode {mode} unsupported "
+                    "(only 1 = valid/floor)"
+                )
+            if int(layer.attr(4, 0)):
+                raise ValueError(
+                    f"{layer.name}: global pooling unsupported"
+                )
             xp = np.pad(
                 x,
-                ((0, 0), (pt, pt), (pl, pl)),
+                ((0, 0), (pt, pb), (pl, pr)),
                 constant_values=-np.inf,
             )
             c, h, w = xp.shape

@@ -133,6 +133,11 @@ def openvino_state_dict(
             if consumer.type != "Add":
                 continue
             other = g.producers.get((to_layer, 1 - to_port))
+            if other is not None and g.layers[other].type == "Convert":
+                # fp16-compressed IRs (compress_to_fp16, the ovc default)
+                # decompress weights through Const -> Convert -> Add;
+                # follow the one hop back to the Const
+                other = g.producers.get((other, 0))
             if other is None or g.layers[other].type != "Const":
                 continue
             bias = _const_array(g.layers[other], blob)
