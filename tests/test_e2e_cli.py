@@ -169,6 +169,21 @@ def test_cli_ncnn_artifact_errors(synth_dataset, tmp_path, capsys):
         ]
     )
     assert rc == 2
+    # a VALID .param with a missing .bin: the early probe parses the
+    # .param fine, so the miss surfaces at weight-read time — still a
+    # pointed rc=2, not a traceback (self-review regression)
+    if os.path.isdir(REF_V1):
+        rc = main(
+            [
+                "--input", str(img_dir), "--labels", str(lbl_dir),
+                "--detector_param",
+                f"{REF_V1}/yolo_plus_ncnn_model/model.ncnn.param",
+                "--detector_bin", "no_such.ncnn.bin",
+            ]
+        )
+        assert rc == 2
+        err = capsys.readouterr().err
+        assert "no_such.ncnn.bin" in err and "Traceback" not in err
 
 
 REF_V1 = "/root/reference/src/vntsr/convert/model/yolo_plus"

@@ -309,3 +309,140 @@ def test_yolov5nu_convs_match_reference_export():
     ref.subtract(ours)
     leftover = +ref
     assert dict(leftover) == {(1, 16, 1): 1}, dict(leftover)  # DFL only
+
+
+# --------------------------------------------------------------------------- #
+# interpreter Pooling semantics (self-review regression: asymmetric pads
+# honored, unsupported pad modes refused instead of silently mis-padding)
+# --------------------------------------------------------------------------- #
+
+
+def _pool_graph(attrs):
+    from litepi_tpu.weights.ncnn_import import NcnnLayer
+
+    return [
+        NcnnLayer("Input", "in0", [], ["img"], {}),
+        NcnnLayer("Pooling", "pool", ["img"], ["out0"], dict(attrs)),
+    ]
+
+
+def test_interp_pooling_asymmetric_pads():
+    from litepi_tpu.weights.ncnn_import import run_ncnn_graph
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 5, 6)).astype(np.float32)
+    # k=3 s=2, pads left/top=0, right/bottom=1 (attrs 14/15), valid mode
+    attrs = {0: 0, 1: 3, 11: 3, 2: 2, 12: 2,
+             3: 0, 13: 0, 14: 1, 15: 1, 5: 1}
+    out = run_ncnn_graph(_pool_graph(attrs), x)
+    xp = np.pad(x, ((0, 0), (0, 1), (0, 1)), constant_values=-np.inf)
+    oh = (xp.shape[1] - 3) // 2 + 1
+    ow = (xp.shape[2] - 3) // 2 + 1
+    exp = np.stack([
+        np.stack([
+            np.stack([
+                xp[c, i * 2 : i * 2 + 3, j * 2 : j * 2 + 3].max()
+                for j in range(ow)
+            ])
+            for i in range(oh)
+        ])
+        for c in range(2)
+    ])
+    assert np.array_equal(np.asarray(out), exp)
+
+
+def test_interp_pooling_refuses_unsupported():
+    from litepi_tpu.weights.ncnn_import import run_ncnn_graph
+
+    x = np.zeros((1, 4, 4), np.float32)
+    # pad-mode 0 = full/ceil (different output-size arithmetic)
+    with pytest.raises(ValueError, match="pad-mode"):
+        run_ncnn_graph(_pool_graph({0: 0, 1: 3, 5: 0}), x)
+    # global pooling
+    with pytest.raises(ValueError, match="global"):
+        run_ncnn_graph(_pool_graph({0: 0, 1: 3, 5: 1, 4: 1}), x)
+
+
+# --------------------------------------------------------------------------- #
+# fp16-compressed OpenVINO IR (self-review regression: ovc's
+# compress_to_fp16 default emits Const(f16) -> Convert -> Add bias
+# decompression; the bias walk must follow the hop)
+# --------------------------------------------------------------------------- #
+
+
+def _compress_ir_to_fp16(xml_path, bin_path, out_xml, out_bin):
+    """Rewrite every f32 Const to f16 + a Convert node, exactly the shape
+    ``ovc --compress_to_fp16`` (the default) produces."""
+    import xml.etree.ElementTree as ET
+
+    tree = ET.parse(xml_path)
+    root = tree.getroot()
+    blob = bytearray(open(bin_path, "rb").read())
+    layers_el = root.find("layers")
+    edges_el = root.find("edges")
+    next_id = max(int(l.get("id")) for l in layers_el) + 1
+    converted = {}
+    for el in layers_el:
+        if el.get("type") != "Const":
+            continue
+        d = el.find("data")
+        if d is None or d.get("element_type") != "f32":
+            continue
+        off, size = int(d.get("offset")), int(d.get("size"))
+        arr = np.frombuffer(bytes(blob[off : off + size]), np.float32)
+        half = arr.astype(np.float16).tobytes()
+        d.set("element_type", "f16")
+        d.set("offset", str(len(blob)))
+        d.set("size", str(len(half)))
+        blob.extend(half)
+        converted[el.get("id")] = str(next_id)
+        cv = ET.SubElement(
+            layers_el, "layer",
+            {"id": str(next_id), "name": el.get("name", "") + "_decompress",
+             "type": "Convert", "version": "opset1"},
+        )
+        ET.SubElement(cv, "data", {"destination_type": "f32"})
+        next_id += 1
+    # snapshot: the loop appends Const -> Convert edges that must not be
+    # revisited (their from-layer is a converted Const)
+    for e in list(edges_el):
+        cid = converted.get(e.get("from-layer"))
+        if cid is None:
+            continue
+        # reroute Const -> consumer through the Convert
+        ET.SubElement(
+            edges_el, "edge",
+            {"from-layer": e.get("from-layer"), "from-port": "0",
+             "to-layer": cid, "to-port": "0"},
+        )
+        e.set("from-layer", cid)
+        e.set("from-port", "1")
+    tree.write(out_xml)
+    open(out_bin, "wb").write(bytes(blob))
+
+
+@needs_reference
+def test_fp16_compressed_ir_keeps_biases(tmp_path):
+    from litepi_tpu.weights.openvino_import import openvino_state_dict
+
+    fx, fb = str(tmp_path / "c.xml"), str(tmp_path / "c.bin")
+    _compress_ir_to_fp16(V1_XML, V1_OVBIN, fx, fb)
+    sd32 = openvino_state_dict(V1_XML, V1_OVBIN)
+    sd16 = openvino_state_dict(fx, fb)
+    assert set(sd16) == set(sd32)
+    assert any(k.endswith(".bias") for k in sd16)
+    for k, v in sd32.items():
+        assert np.array_equal(
+            sd16[k], v.astype(np.float16).astype(np.float32)
+        ), k
+
+
+@needs_reference
+def test_fp16_compressed_ir_converts_end_to_end(tmp_path):
+    from litepi_tpu.core.types import YOLO_PLUS_V1
+    from litepi_tpu.weights.openvino_import import convert_detector_openvino
+
+    fx, fb = str(tmp_path / "c.xml"), str(tmp_path / "c.bin")
+    _compress_ir_to_fp16(V1_XML, V1_OVBIN, fx, fb)
+    variables, cfg = convert_detector_openvino(fx, fb)
+    assert cfg.name == YOLO_PLUS_V1.name
