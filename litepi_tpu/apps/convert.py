@@ -37,6 +37,9 @@ import sys
 
 CLASSIFIER_ARCHS = ("shufflenetv2", "resnet18", "mobilenetv2", "efficientnet")
 DETECTOR_ARCHS = ("yolo_plus_v2", "yolo_plus_v1", "yolov8n")
+# baseline variants with their own Flax models (no yolo_plus DetectorConfig);
+# the deployed 'yolo5' is the u-variant — see models/yolov5.py
+VARIANT_ARCHS = {"yolov5n": "yolov5nu", "yolov11n": "yolov11n"}
 
 
 def main(argv=None) -> int:
@@ -45,7 +48,8 @@ def main(argv=None) -> int:
     )
     p.add_argument(
         "--arch", required=True,
-        choices=list(CLASSIFIER_ARCHS) + list(DETECTOR_ARCHS),
+        choices=list(CLASSIFIER_ARCHS) + list(DETECTOR_ARCHS)
+        + list(VARIANT_ARCHS),
     )
     p.add_argument("--num_classes", type=int, required=True)
     p.add_argument(
@@ -66,9 +70,10 @@ def main(argv=None) -> int:
 
     from litepi_tpu.weights.checkpoint import save_checkpoint
 
-    is_detector = args.arch in DETECTOR_ARCHS
+    variant = VARIANT_ARCHS.get(args.arch)
+    is_detector = args.arch in DETECTOR_ARCHS or variant is not None
     cfg = None
-    if is_detector:
+    if is_detector and variant is None:
         from litepi_tpu.core.types import YOLO_PLUS_V1, YOLO_PLUS_V2, YOLOV8N
 
         cfg = {
@@ -76,6 +81,19 @@ def main(argv=None) -> int:
             "yolo_plus_v1": YOLO_PLUS_V1,
             "yolov8n": YOLOV8N,
         }[args.arch]
+
+    def _variant_convert_sd(sd):
+        from litepi_tpu.weights.onnx_import import defuse_state_dict
+        from litepi_tpu.weights.torch_import import (
+            convert_yolov5u_state_dict,
+            convert_yolov11_state_dict,
+        )
+
+        conv = {
+            "yolov5nu": convert_yolov5u_state_dict,
+            "yolov11n": convert_yolov11_state_dict,
+        }[variant]
+        return conv(defuse_state_dict(sd))
 
     # ---- read + convert ------------------------------------------------ #
     if args.input.endswith((".param", ".xml")):
@@ -91,12 +109,31 @@ def main(argv=None) -> int:
 
         bin_path = args.bin or os.path.splitext(args.input)[0] + ".bin"
         if args.input.endswith(".param"):
-            from litepi_tpu.weights.ncnn_import import convert_detector_ncnn
+            if variant is not None:
+                from litepi_tpu.weights.ncnn_import import (
+                    convert_detector_ncnn_variant,
+                )
 
-            variables, matched = convert_detector_ncnn(
-                args.input, bin_path, cfg
-            )
+                variables = convert_detector_ncnn_variant(
+                    args.input, bin_path, variant, args.num_classes
+                )
+            else:
+                from litepi_tpu.weights.ncnn_import import (
+                    convert_detector_ncnn,
+                )
+
+                variables, matched = convert_detector_ncnn(
+                    args.input, bin_path, cfg
+                )
         else:
+            if variant is not None:
+                print(
+                    "error: OpenVINO IR ingestion covers the yolo_plus/"
+                    "yolov8 family; convert v5n/v11n from the .param pair "
+                    "or a .pt/.onnx export instead",
+                    file=sys.stderr,
+                )
+                return 2
             from litepi_tpu.weights.openvino_import import (
                 convert_detector_openvino,
             )
@@ -105,7 +142,13 @@ def main(argv=None) -> int:
                 args.input, bin_path, cfg
             )
     elif args.input.endswith(".onnx"):
-        if is_detector:
+        if variant is not None:
+            from litepi_tpu.weights.onnx_import import read_onnx_initializers
+
+            variables = _variant_convert_sd(
+                read_onnx_initializers(args.input)
+            )
+        elif is_detector:
             from litepi_tpu.weights.onnx_import import convert_detector_onnx
 
             variables = convert_detector_onnx(args.input, cfg.depths)
@@ -121,7 +164,9 @@ def main(argv=None) -> int:
         )
 
         sd = load_torch_state_dict(args.input)
-        if is_detector:
+        if variant is not None:
+            variables = _variant_convert_sd(sd)
+        elif is_detector:
             # tolerate fused exports saved back to .pth (identity-BN
             # rebuild is a no-op for ordinary unfused dicts)
             from litepi_tpu.weights.onnx_import import defuse_state_dict
@@ -135,17 +180,26 @@ def main(argv=None) -> int:
     # ---- export smoke test --------------------------------------------- #
     rng = np.random.default_rng(0)
     if is_detector:
-        import dataclasses
-
-        from litepi_tpu.models import YoloLitePi
-
         size = max(args.input_size, 64)  # detector stride 32 floor
-        model = YoloLitePi(
-            dataclasses.replace(cfg, num_classes=args.num_classes)
-        )
+        if variant == "yolov5nu":
+            from litepi_tpu.models.yolov5 import YoloV5
+
+            model = YoloV5(num_classes=args.num_classes, anchor_free=True)
+        elif variant == "yolov11n":
+            from litepi_tpu.models.yolov11 import YoloV11
+
+            model = YoloV11(num_classes=args.num_classes)
+        else:
+            import dataclasses
+
+            from litepi_tpu.models import YoloLitePi
+
+            model = YoloLitePi(
+                dataclasses.replace(cfg, num_classes=args.num_classes)
+            )
         x = rng.uniform(0, 1, (1, size, size, 3)).astype(np.float32)
         out = model.apply(variables, x, train=False)
-        n_anchors = sum((size // s) ** 2 for s in cfg.strides)
+        n_anchors = sum((size // s) ** 2 for s in (8, 16, 32))
         ok = (
             out["cls"].shape == (1, n_anchors, args.num_classes)
             and np.isfinite(np.asarray(out["cls"])).all()

@@ -145,16 +145,36 @@ def main(argv=None) -> int:
         from litepi_tpu.weights.ncnn_import import (
             infer_detector_config,
             parse_ncnn_param,
+            verify_ncnn_variant_topology,
         )
 
+        inferred_cfg = None
         try:
-            inferred_cfg = infer_detector_config(
-                parse_ncnn_param(args.detector_param)
-            )
+            param_layers = parse_ncnn_param(args.detector_param)
         except (OSError, ValueError) as e:
             print(f"error: --detector_param: {e}", file=sys.stderr)
             return 2
-        inferred_variant = inferred_cfg.name
+        try:
+            inferred_cfg = infer_detector_config(param_layers)
+            inferred_variant = inferred_cfg.name
+        except ValueError as err_plus:
+            # not the yolo_plus family — the reference also deploys
+            # yolov5nu/yolov11n NCNN graphs (src/*/convert/model/yolo{5,11});
+            # all its exports are single-class, which the probe assumes
+            for ncnn_variant, cli_name in (
+                ("yolov5nu", "yolov5n"), ("yolov11n", "yolov11n")
+            ):
+                try:
+                    verify_ncnn_variant_topology(param_layers, ncnn_variant)
+                    inferred_variant = cli_name
+                    break
+                except ValueError:
+                    continue
+            if inferred_variant is None:
+                print(
+                    f"error: --detector_param: {err_plus}", file=sys.stderr
+                )
+                return 2
     elif args.detector and args.detector.endswith(".xml"):
         from litepi_tpu.core.types import YOLO_PLUS_V1, YOLO_PLUS_V2
         from litepi_tpu.weights.openvino_import import (
@@ -321,17 +341,34 @@ def main(argv=None) -> int:
         det_model = None
     det = args.detector or ""
     artifact = args.detector_param or det.endswith((".xml", ".onnx", ".pt", ".pth"))
-    if artifact and args.detector_variant in (
+    if artifact and not args.detector_param and args.detector_variant in (
         "yolov5n", "yolov5n_legacy", "yolov11n"
     ):
         print(
-            "error: direct artifact loading covers the yolo_plus/yolov8 "
-            "family; convert v5n/v11n weights to an orbax checkpoint with "
+            "error: direct v5n/v11n artifact loading covers NCNN .param "
+            "pairs; convert other formats to an orbax checkpoint with "
             "apps/convert.py first",
             file=sys.stderr,
         )
         return 2
-    if args.detector_param:
+    if args.detector_param and args.detector_variant in (
+        "yolov5n", "yolov11n"
+    ):
+        from litepi_tpu.weights.ncnn_import import (
+            convert_detector_ncnn_variant,
+        )
+
+        try:
+            det_vars = convert_detector_ncnn_variant(
+                args.detector_param, args.detector_bin,
+                "yolov5nu" if args.detector_variant == "yolov5n"
+                else "yolov11n",
+                cfg.detector.num_classes,
+            )
+        except (OSError, ValueError) as e:
+            print(f"error: --detector_bin: {e}", file=sys.stderr)
+            return 2
+    elif args.detector_param:
         from litepi_tpu.weights.ncnn_import import convert_detector_ncnn
 
         try:

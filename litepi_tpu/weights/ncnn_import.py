@@ -146,10 +146,17 @@ def read_ncnn_bin(
     data = src if isinstance(src, bytes) else open(src, "rb").read()
     r = _BinReader(data)
     for layer in layers:
-        if layer.type == "Convolution":
+        if layer.type in ("Convolution", "ConvolutionDepthWise"):
             wsize = int(layer.attr(6, 0))
             out_c = int(layer.attr(0))
             kw, kh = int(layer.attr(1, 1)), int(layer.attr(11, layer.attr(1, 1)))
+            if layer.type == "ConvolutionDepthWise":
+                g = int(layer.attr(7, 1))
+                if g != out_c:
+                    raise ValueError(
+                        f"{layer.name}: grouped conv with groups={g} != "
+                        f"out={out_c} — only depthwise supported"
+                    )
             w = r.read_tagged(wsize)
             in_c = wsize // (out_c * kw * kh)
             layer.weights["weight"] = w.reshape(out_c, in_c, kh, kw)
@@ -234,6 +241,182 @@ def ultralytics_conv_plan(
     return plan
 
 
+def _c3_plan(idx: int, out_c: int, n: int) -> List[Tuple[str, int, int]]:
+    """v5 C3 emission order: cv1, m.* (1x1+3x3 at FULL hidden width,
+    e=1.0), cv2, cv3 — the torch trace evaluates ``m(cv1(x))`` before
+    ``cv2(x)`` (yolo5 export: model.ncnn.param conv_4-8)."""
+    h = out_c // 2
+    plan = [(f"model.{idx}.cv1", h, 1)]
+    for j in range(n):
+        plan += [
+            (f"model.{idx}.m.{j}.cv1", h, 1),
+            (f"model.{idx}.m.{j}.cv2", h, 3),
+        ]
+    plan += [(f"model.{idx}.cv2", h, 1), (f"model.{idx}.cv3", out_c, 1)]
+    return plan
+
+
+def _c3k_plan(path: str, out_c: int) -> List[Tuple[str, int, int]]:
+    """v11 C3k emission order: like C3 but the 2 inner bottlenecks are
+    half-width 3x3+3x3 pairs (yolo11 export conv_16-22)."""
+    h = out_c // 2
+    plan = [(f"{path}.cv1", h, 1)]
+    for j in range(2):
+        plan += [
+            (f"{path}.m.{j}.cv1", h, 3),
+            (f"{path}.m.{j}.cv2", h, 3),
+        ]
+    plan += [(f"{path}.cv2", h, 1), (f"{path}.cv3", out_c, 1)]
+    return plan
+
+
+def _c3k2_plan(idx: int, out_c: int, n: int, c3k: bool, e: float = 0.5):
+    """v11 C3k2 emission order: cv1, m.* (C3k or half-expansion
+    bottlenecks), cv2."""
+    hidden = int(out_c * e)
+    plan = [(f"model.{idx}.cv1", 2 * hidden, 1)]
+    for j in range(n):
+        if c3k:
+            plan += _c3k_plan(f"model.{idx}.m.{j}", hidden)
+        else:
+            plan += [
+                (f"model.{idx}.m.{j}.cv1", hidden // 2, 3),
+                (f"model.{idx}.m.{j}.cv2", hidden, 3),
+            ]
+    plan.append((f"model.{idx}.cv2", out_c, 1))
+    return plan
+
+
+def yolov5u_conv_plan(num_classes: int = 1):
+    """Conv emission order of the deployed yolov5nu export (v5 body, v8
+    DFL head at model.24 — src/*/convert/model/yolo5/yolo5_ncnn_model/
+    model.ncnn.param, 76 convs)."""
+    c = (16, 32, 64, 128, 256)
+    d = (1, 2, 3, 1)
+    plan: List[Tuple[str, int, int]] = [
+        ("model.0", c[0], 6),
+        ("model.1", c[1], 3),
+        *_c3_plan(2, c[1], d[0]),
+        ("model.3", c[2], 3),
+        *_c3_plan(4, c[2], d[1]),
+        ("model.5", c[3], 3),
+        *_c3_plan(6, c[3], d[2]),
+        ("model.7", c[4], 3),
+        *_c3_plan(8, c[4], d[3]),
+        ("model.9.cv1", c[4] // 2, 1),  # SPPF
+        ("model.9.cv2", c[4], 1),
+        ("model.10", c[3], 1),  # pre-upsample reduce
+        *_c3_plan(13, c[3], 1),
+        ("model.14", c[2], 1),
+        *_c3_plan(17, c[2], 1),
+        ("model.18", c[2], 3),
+        *_c3_plan(20, c[3], 1),
+        ("model.21", c[3], 3),
+        *_c3_plan(23, c[4], 1),
+    ]
+    for i in range(3):
+        plan += [
+            (f"model.24.cv2.{i}.0", 64, 3),
+            (f"model.24.cv2.{i}.1", 64, 3),
+            (f"model.24.cv2.{i}.2", 64, 1),
+            (f"model.24.cv3.{i}.0", 64, 3),
+            (f"model.24.cv3.{i}.1", 64, 3),
+            (f"model.24.cv3.{i}.2", num_classes, 1),
+        ]
+    plan.append(("model.24.dfl", 1, 1))
+    return plan
+
+
+def yolov11n_conv_plan(num_classes: int = 1):
+    """Conv emission order of the deployed yolov11n export (C3k2/C2PSA
+    body, depthwise-separable cls head at model.23 — src/*/convert/model/
+    yolo11/yolo11_ncnn_model/model.ncnn.param, 81 convs + 7 depthwise).
+
+    Entries are (path, out_channels, kernel[, groups]); groups > 1 marks a
+    ConvolutionDepthWise layer."""
+    c = (16, 32, 64, 128, 256)
+    h = c[4] // 2
+    plan = [
+        ("model.0", c[0], 3),
+        ("model.1", c[1], 3),
+        *_c3k2_plan(2, c[2], 1, False, 0.25),
+        ("model.3", c[2], 3),
+        *_c3k2_plan(4, c[3], 1, False, 0.25),
+        ("model.5", c[3], 3),
+        *_c3k2_plan(6, c[3], 1, True),
+        ("model.7", c[4], 3),
+        *_c3k2_plan(8, c[4], 1, True),
+        ("model.9.cv1", c[4] // 2, 1),  # SPPF
+        ("model.9.cv2", c[4], 1),
+        # C2PSA: cv1, attn (qkv, matmuls, depthwise pe, proj), ffn, cv2
+        ("model.10.cv1", c[4], 1),
+        ("model.10.m.0.attn.qkv", 2 * h, 1),
+        ("model.10.m.0.attn.pe", h, 3, h),
+        ("model.10.m.0.attn.proj", h, 1),
+        ("model.10.m.0.ffn.0", c[4], 1),
+        ("model.10.m.0.ffn.1", h, 1),
+        ("model.10.cv2", c[4], 1),
+        *_c3k2_plan(13, c[3], 1, False),
+        *_c3k2_plan(16, c[2], 1, False),
+        ("model.17", c[2], 3),
+        *_c3k2_plan(19, c[3], 1, False),
+        ("model.20", c[3], 3),
+        *_c3k2_plan(22, c[4], 1, True),
+    ]
+    for i, cin in enumerate((64, 128, 256)):
+        plan += [
+            (f"model.23.cv2.{i}.0", 64, 3),
+            (f"model.23.cv2.{i}.1", 64, 3),
+            (f"model.23.cv2.{i}.2", 64, 1),
+            (f"model.23.cv3.{i}.0.0", cin, 3, cin),  # DWConv
+            (f"model.23.cv3.{i}.0.1", 64, 1),
+            (f"model.23.cv3.{i}.1.0", 64, 3, 64),  # DWConv
+            (f"model.23.cv3.{i}.1.1", 64, 1),
+            (f"model.23.cv3.{i}.2", num_classes, 1),
+        ]
+    plan.append(("model.23.dfl", 1, 1))
+    return plan
+
+
+def _verify_conv_plan(
+    layers: Sequence[NcnnLayer],
+    plan: Sequence[Tuple],
+    errors: List[str],
+) -> Dict[str, str]:
+    """Check every (DepthWise)Convolution against the emission-order plan
+    (entries ``(path, out_c, k[, groups])``); returns layer-name -> path."""
+    convs = [
+        l for l in layers
+        if l.type in ("Convolution", "ConvolutionDepthWise")
+    ]
+    if len(convs) != len(plan):
+        errors.append(
+            f"conv count: graph has {len(convs)}, config expects {len(plan)}"
+        )
+    mapping: Dict[str, str] = {}
+    for layer, entry in zip(convs, plan):
+        path, out_c, k = entry[:3]
+        groups = entry[3] if len(entry) > 3 else 1
+        got_c, got_k = int(layer.attr(0)), int(layer.attr(1, 1))
+        got_g = (
+            int(layer.attr(7, 1))
+            if layer.type == "ConvolutionDepthWise" else 1
+        )
+        if (got_c, got_k, got_g) != (out_c, k, groups):
+            errors.append(
+                f"{layer.name} -> {path}: graph out={got_c} k={got_k} "
+                f"g={got_g}, config expects out={out_c} k={k} g={groups}"
+            )
+        wsize = int(layer.attr(6, 0))
+        if wsize * groups % (out_c * k * k) and not errors:
+            errors.append(
+                f"{layer.name} -> {path}: weight size {wsize} not divisible "
+                f"by out*k*k/g={out_c * k * k // groups}"
+            )
+        mapping[layer.name] = path
+    return mapping
+
+
 def verify_ncnn_topology(
     layers: Sequence[NcnnLayer], cfg: DetectorConfig
 ) -> Dict[str, str]:
@@ -246,39 +429,40 @@ def verify_ncnn_topology(
     ``{ncnn_layer_name: ultralytics_module_path}`` for the convs.
     Raises ``ValueError`` with a full mismatch list otherwise.
     """
-    plan = ultralytics_conv_plan(cfg)
-    convs = [l for l in layers if l.type == "Convolution"]
     errors: List[str] = []
-    if len(convs) != len(plan):
-        errors.append(
-            f"conv count: graph has {len(convs)}, config expects {len(plan)}"
-        )
-    mapping: Dict[str, str] = {}
-    for layer, (path, out_c, k) in zip(convs, plan):
-        got_c, got_k = int(layer.attr(0)), int(layer.attr(1, 1))
-        if (got_c, got_k) != (out_c, k):
-            errors.append(
-                f"{layer.name} -> {path}: graph out={got_c} k={got_k}, "
-                f"config expects out={out_c} k={k}"
-            )
-        wsize = int(layer.attr(6, 0))
-        if wsize % (out_c * k * k) and not errors:
-            errors.append(
-                f"{layer.name} -> {path}: weight size {wsize} not divisible "
-                f"by out*k*k={out_c * k * k}"
-            )
-        mapping[layer.name] = path
+    mapping = _verify_conv_plan(layers, ultralytics_conv_plan(cfg), errors)
 
     # decode subgraph structure
     A = cfg.num_anchors
     per_level = [
         (cfg.input_size // s) ** 2 for s in cfg.strides
     ]
+    _verify_decode(
+        layers, cfg.num_classes, cfg.reg_max, A, per_level, errors
+    )
+    if errors:
+        raise ValueError(
+            f"NCNN topology does not match config {cfg.name!r}:\n  "
+            + "\n  ".join(errors)
+        )
+    return mapping
+
+
+def _verify_decode(
+    layers: Sequence[NcnnLayer],
+    num_classes: int,
+    reg_max: int,
+    num_anchors: int,
+    per_level: Sequence[int],
+    errors: List[str],
+) -> None:
+    """The in-graph decode's structural constants — shared by every
+    Ultralytics anchor-free export (yolo_plus / v8 / v5u / v11)."""
     reshapes = [l for l in layers if l.type == "Reshape"]
     level_reshapes = {
         (int(l.attr(0, -1)), int(l.attr(1, -1))) for l in reshapes
     }
-    want_box_cls = 4 * cfg.reg_max + cfg.num_classes
+    want_box_cls = 4 * reg_max + num_classes
     for npos in per_level:
         if (npos, want_box_cls) not in level_reshapes:
             errors.append(
@@ -287,25 +471,55 @@ def verify_ncnn_topology(
             )
     slices = [l for l in layers if l.type == "Slice"]
     split_sizes = {tuple(l.attr(0)) for l in slices if isinstance(l.attr(0), list)}
-    if (4 * cfg.reg_max, cfg.num_classes) not in {
+    if (4 * reg_max, num_classes) not in {
         tuple(int(v) for v in s) for s in split_sizes
     }:
         errors.append(
-            f"missing box/class split {4 * cfg.reg_max}/{cfg.num_classes} "
+            f"missing box/class split {4 * reg_max}/{num_classes} "
             f"(found {sorted(split_sizes)})"
         )
     if not any(
-        int(l.attr(0, -1)) == A
-        and int(l.attr(1, -1)) == cfg.reg_max
+        int(l.attr(0, -1)) == num_anchors
+        and int(l.attr(1, -1)) == reg_max
         and int(l.attr(2, -1)) == 4
         for l in reshapes
     ):
         errors.append(
-            f"missing DFL reshape ({cfg.reg_max}, 4, {A}) — reg_max parity"
+            f"missing DFL reshape ({reg_max}, 4, {num_anchors}) "
+            "— reg_max parity"
         )
+
+
+_VARIANT_PLANS = {
+    "yolov5nu": (yolov5u_conv_plan, 24),
+    "yolov11n": (yolov11n_conv_plan, 23),
+}
+
+
+def verify_ncnn_variant_topology(
+    layers: Sequence[NcnnLayer],
+    variant: str,
+    num_classes: int = 1,
+    input_size: int = 640,
+) -> Dict[str, str]:
+    """Layer-by-layer parity check of a baseline variant ('yolov5nu' /
+    'yolov11n') against a parsed graph — same contract as
+    :func:`verify_ncnn_topology` but driven by the variant's canonical
+    emission plan instead of a yolo_plus DetectorConfig."""
+    if variant not in _VARIANT_PLANS:
+        raise ValueError(
+            f"unknown variant {variant!r}; choices: {sorted(_VARIANT_PLANS)}"
+        )
+    plan_fn, _head = _VARIANT_PLANS[variant]
+    errors: List[str] = []
+    mapping = _verify_conv_plan(layers, plan_fn(num_classes), errors)
+    per_level = [(input_size // s) ** 2 for s in (8, 16, 32)]
+    _verify_decode(
+        layers, num_classes, 16, sum(per_level), per_level, errors
+    )
     if errors:
         raise ValueError(
-            f"NCNN topology does not match config {cfg.name!r}:\n  "
+            f"NCNN topology does not match variant {variant!r}:\n  "
             + "\n  ".join(errors)
         )
     return mapping
@@ -330,9 +544,20 @@ def ncnn_state_dict(
     bare = {
         f"model.22.cv{b}.{i}.2" for b in (2, 3) for i in range(3)
     }
+    return _weights_to_state_dict(layers, mapping, bare)
+
+
+def _weights_to_state_dict(
+    layers: Sequence[NcnnLayer],
+    mapping: Dict[str, str],
+    bare: set,
+) -> Dict[str, np.ndarray]:
+    """Attach graph conv weights to Ultralytics-style keys: ConvBN convs
+    get a ``.conv`` stem (BN-folded bias rides along for defusion), the
+    ``bare`` module paths (head 1x1s, DFL) keep plain ``.weight``."""
     sd: Dict[str, np.ndarray] = {}
     for layer in layers:
-        if layer.type != "Convolution":
+        if layer.type not in ("Convolution", "ConvolutionDepthWise"):
             continue
         path = mapping[layer.name]
         if "weight" not in layer.weights:
@@ -346,6 +571,45 @@ def ncnn_state_dict(
         if "bias" in layer.weights:
             sd[f"{stem}.bias"] = layer.weights["bias"]
     return sd
+
+
+def ncnn_variant_state_dict(
+    layers: Sequence[NcnnLayer], variant: str, num_classes: int = 1
+) -> Dict[str, np.ndarray]:
+    """Baseline-variant graph weights -> Ultralytics-style (fused) state
+    dict, keyed by the emission plan of :func:`yolov5u_conv_plan` /
+    :func:`yolov11n_conv_plan`."""
+    mapping = verify_ncnn_variant_topology(layers, variant, num_classes)
+    _plan_fn, head = _VARIANT_PLANS[variant]
+    bare = {f"model.{head}.cv{b}.{i}.2" for b in (2, 3) for i in range(3)}
+    return _weights_to_state_dict(layers, mapping, bare)
+
+
+def convert_detector_ncnn_variant(
+    param_path: str,
+    bin_path: str,
+    variant: str,
+    num_classes: int = 1,
+):
+    """NCNN baseline export -> Flax variables for YoloV5(anchor_free=True)
+    or YoloV11 (reference deploys both alongside yolo_plus —
+    src/*/convert/model/{yolo5,yolo11}/)."""
+    from litepi_tpu.weights.onnx_import import defuse_state_dict
+    from litepi_tpu.weights.torch_import import (
+        convert_yolov5u_state_dict,
+        convert_yolov11_state_dict,
+    )
+
+    layers = parse_ncnn_param(param_path)
+    read_ncnn_bin(layers, bin_path)
+    sd = defuse_state_dict(
+        ncnn_variant_state_dict(layers, variant, num_classes)
+    )
+    conv = {
+        "yolov5nu": convert_yolov5u_state_dict,
+        "yolov11n": convert_yolov11_state_dict,
+    }[variant]
+    return conv(sd)
 
 
 def convert_detector_ncnn(
@@ -413,8 +677,8 @@ def run_ncnn_graph(
     # these in milliseconds.
     _cpu = jax.devices("cpu")[0]
 
-    @partial(jax.jit, static_argnums=(2, 3, 4))
-    def _conv_jit(x, w, stride, pad, dilation):
+    @partial(jax.jit, static_argnums=(2, 3, 4, 5))
+    def _conv_jit(x, w, stride, pad, dilation, groups):
         return jax.lax.conv_general_dilated(
             x[None].astype(jnp.float32),
             w.astype(jnp.float32),
@@ -422,13 +686,14 @@ def run_ncnn_graph(
             padding=pad,
             rhs_dilation=dilation,
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=groups,
         )[0]
 
-    def _conv(x, w, stride, pad, dilation):
+    def _conv(x, w, stride, pad, dilation, groups=1):
         with jax.default_device(_cpu):
             return _conv_jit(
                 jax.device_put(x, _cpu), jax.device_put(w, _cpu),
-                stride, pad, dilation,
+                stride, pad, dilation, groups,
             )
 
     blobs: Dict[str, np.ndarray] = {}
@@ -440,7 +705,7 @@ def run_ncnn_graph(
             blobs[layer.tops[0]] = np.asarray(image_chw, np.float32)
         elif t == "MemoryData":
             blobs[layer.tops[0]] = layer.weights["data"]
-        elif t == "Convolution":
+        elif t in ("Convolution", "ConvolutionDepthWise"):
             (x,) = ins
             w = layer.weights["weight"]
             sw, sh = int(layer.attr(3, 1)), int(layer.attr(13, layer.attr(3, 1)))
@@ -449,8 +714,12 @@ def run_ncnn_graph(
             pr = int(layer.attr(15, pl))
             pt = int(layer.attr(14, pl))
             pb = int(layer.attr(16, pt))
+            g = (
+                int(layer.attr(7, 1))
+                if t == "ConvolutionDepthWise" else 1
+            )
             y = np.asarray(
-                _conv(x, w, (sh, sw), ((pt, pb), (pl, pr)), (dh, dw))
+                _conv(x, w, (sh, sw), ((pt, pb), (pl, pr)), (dh, dw), g)
             )
             if "bias" in layer.weights:
                 y = y + layer.weights["bias"][:, None, None]
@@ -572,6 +841,11 @@ def run_ncnn_graph(
             m = x.max(axis=axis, keepdims=True)
             e = np.exp(x - m)
             blobs[layer.tops[0]] = e / e.sum(axis=axis, keepdims=True)
+        elif t == "MatMul":
+            a, b2 = ins
+            if int(layer.attr(0, 0)):  # transB
+                b2 = np.swapaxes(b2, -1, -2)
+            blobs[layer.tops[0]] = np.matmul(a, b2)
         else:
             raise ValueError(f"unsupported NCNN layer type {t!r}")
         out_name = layer.tops[0]

@@ -389,6 +389,161 @@ def convert_detector_state_dict(
     return {"params": p, "batch_stats": s}
 
 
+def convert_yolov5u_state_dict(sd: Mapping[str, np.ndarray]) -> Tree:
+    """Ultralytics yolov5nu state dict -> litepi_tpu YoloV5(anchor_free)
+    variables.
+
+    The deployed 'yolo5' is the u-variant (v5 body, v8 DFL head at
+    model.24 — src/*/convert/model/yolo5/yolo5_ncnn_model/model.ncnn.param);
+    this maps its module list (backbone 0-9, PAN 10-23, Detect 24) onto
+    the Flax names of models/yolov5.py.  model.24.dfl is skipped (litepi
+    computes the DFL expectation in ops/dfl.py)."""
+    p: Tree = {}
+    s: Tree = {}
+
+    def conv_bn(dst: Tuple[str, ...], src: str) -> None:
+        _put_conv(p, dst + ("conv",), sd, f"{src}.conv")
+        _put_bn(p, s, dst + ("bn",), sd, f"{src}.bn")
+
+    def c3(dst: Tuple[str, ...], src: str, n: int) -> None:
+        conv_bn(dst + ("cv1",), f"{src}.cv1")
+        conv_bn(dst + ("cv2",), f"{src}.cv2")
+        conv_bn(dst + ("cv3",), f"{src}.cv3")
+        for i in range(n):
+            conv_bn(dst + (f"m{i}", "cv1"), f"{src}.m.{i}.cv1")
+            conv_bn(dst + (f"m{i}", "cv2"), f"{src}.m.{i}.cv2")
+
+    conv_bn(("stem",), "model.0")
+    conv_bn(("down1",), "model.1")
+    c3(("c3_1",), "model.2", 1)
+    conv_bn(("down2",), "model.3")
+    c3(("c3_2",), "model.4", 2)
+    conv_bn(("down3",), "model.5")
+    c3(("c3_3",), "model.6", 3)
+    conv_bn(("down4",), "model.7")
+    c3(("c3_4",), "model.8", 1)
+    conv_bn(("sppf", "cv1"), "model.9.cv1")
+    conv_bn(("sppf", "cv2"), "model.9.cv2")
+    conv_bn(("td_cv5",), "model.10")
+    c3(("td_p4",), "model.13", 1)
+    conv_bn(("td_cv4",), "model.14")
+    c3(("td_p3",), "model.17", 1)
+    conv_bn(("bu_down3",), "model.18")
+    c3(("bu_p4",), "model.20", 1)
+    conv_bn(("bu_down4",), "model.21")
+    c3(("bu_p5",), "model.23", 1)
+    for i in range(3):
+        conv_bn((f"reg{i}_cv1",), f"model.24.cv2.{i}.0")
+        conv_bn((f"reg{i}_cv2",), f"model.24.cv2.{i}.1")
+        _put_conv(p, (f"reg{i}_out",), sd, f"model.24.cv2.{i}.2")
+        conv_bn((f"cls{i}_cv1",), f"model.24.cv3.{i}.0")
+        conv_bn((f"cls{i}_cv2",), f"model.24.cv3.{i}.1")
+        _put_conv(p, (f"cls{i}_out",), sd, f"model.24.cv3.{i}.2")
+    return {"params": p, "batch_stats": s}
+
+
+def _qkv_permutation(
+    num_heads: int, key_dim: int, head_dim: int
+) -> np.ndarray:
+    """Channel permutation taking Ultralytics' Attention qkv layout to
+    ours.
+
+    torch packs the qkv conv's output heads-major — per head
+    ``[q(key_dim), k(key_dim), v(head_dim)]`` (Attention.forward views
+    (b, nh, 2*kd+hd, n) then splits dim 2); models/yolov11.py splits
+    branch-major — ``[q all heads | k all heads | v all heads]`` with
+    (nh, dim) interleave inside each branch.  Returns ``idx`` such that
+    ``ours_channel[i] = torch_channel[idx[i]]``."""
+    per_head = 2 * key_dim + head_dim
+    idx = []
+    for off, size in ((0, key_dim), (key_dim, key_dim), (2 * key_dim, head_dim)):
+        for h in range(num_heads):
+            base = h * per_head + off
+            idx.extend(range(base, base + size))
+    return np.asarray(idx)
+
+
+def convert_yolov11_state_dict(sd: Mapping[str, np.ndarray]) -> Tree:
+    """Ultralytics yolov11n state dict -> litepi_tpu YoloV11 variables.
+
+    Maps the module list of the deployed v11n export (backbone 0-10 incl.
+    C2PSA, PAN 11-22, Detect 23 with the depthwise-separable cls branch —
+    src/*/convert/model/yolo11/yolo11_ncnn_model/model.ncnn.param) onto
+    models/yolov11.py.  The attention qkv conv's output channels are
+    re-ordered from torch's heads-major packing to our branch-major
+    split (see :func:`_qkv_permutation`); model.23.dfl is skipped."""
+    p: Tree = {}
+    s: Tree = {}
+
+    def conv_bn(dst: Tuple[str, ...], src: str) -> None:
+        _put_conv(p, dst + ("conv",), sd, f"{src}.conv")
+        _put_bn(p, s, dst + ("bn",), sd, f"{src}.bn")
+
+    def c3k2(dst: Tuple[str, ...], src: str, n: int, c3k: bool) -> None:
+        conv_bn(dst + ("cv1",), f"{src}.cv1")
+        conv_bn(dst + ("cv2",), f"{src}.cv2")
+        for i in range(n):
+            d2, s2 = dst + (f"m{i}",), f"{src}.m.{i}"
+            if c3k:
+                conv_bn(d2 + ("cv1",), f"{s2}.cv1")
+                conv_bn(d2 + ("cv2",), f"{s2}.cv2")
+                conv_bn(d2 + ("cv3",), f"{s2}.cv3")
+                for j in range(2):
+                    conv_bn(d2 + (f"m{j}", "cv1"), f"{s2}.m.{j}.cv1")
+                    conv_bn(d2 + (f"m{j}", "cv2"), f"{s2}.m.{j}.cv2")
+            else:
+                conv_bn(d2 + ("cv1",), f"{s2}.cv1")
+                conv_bn(d2 + ("cv2",), f"{s2}.cv2")
+
+    conv_bn(("stem",), "model.0")
+    conv_bn(("down1",), "model.1")
+    c3k2(("c3k2_1",), "model.2", 1, False)
+    conv_bn(("down2",), "model.3")
+    c3k2(("c3k2_2",), "model.4", 1, False)
+    conv_bn(("down3",), "model.5")
+    c3k2(("c3k2_3",), "model.6", 1, True)
+    conv_bn(("down4",), "model.7")
+    c3k2(("c3k2_4",), "model.8", 1, True)
+    conv_bn(("sppf", "cv1"), "model.9.cv1")
+    conv_bn(("sppf", "cv2"), "model.9.cv2")
+
+    conv_bn(("c2psa", "cv1"), "model.10.cv1")
+    attn = ("c2psa", "m0", "attn")
+    dim = sd["model.10.m.0.attn.proj.conv.weight"].shape[0]
+    nh = max(dim // 64, 1)
+    head_dim = dim // nh
+    perm = _qkv_permutation(nh, head_dim // 2, head_dim)
+    qsrc = "model.10.m.0.attn.qkv"
+    _set(p, attn + ("qkv", "conv", "kernel"),
+         _conv(sd[f"{qsrc}.conv.weight"][perm]))
+    _set(p, attn + ("qkv", "bn", "scale"), sd[f"{qsrc}.bn.weight"][perm])
+    _set(p, attn + ("qkv", "bn", "bias"), sd[f"{qsrc}.bn.bias"][perm])
+    _set(s, attn + ("qkv", "bn", "mean"), sd[f"{qsrc}.bn.running_mean"][perm])
+    _set(s, attn + ("qkv", "bn", "var"), sd[f"{qsrc}.bn.running_var"][perm])
+    conv_bn(attn + ("pe",), "model.10.m.0.attn.pe")
+    conv_bn(attn + ("proj",), "model.10.m.0.attn.proj")
+    conv_bn(("c2psa", "m0", "ffn1"), "model.10.m.0.ffn.0")
+    conv_bn(("c2psa", "m0", "ffn2"), "model.10.m.0.ffn.1")
+    conv_bn(("c2psa", "cv2"), "model.10.cv2")
+
+    c3k2(("td_p4",), "model.13", 1, False)
+    c3k2(("td_p3",), "model.16", 1, False)
+    conv_bn(("bu_down3",), "model.17")
+    c3k2(("bu_p4",), "model.19", 1, False)
+    conv_bn(("bu_down4",), "model.20")
+    c3k2(("bu_p5",), "model.22", 1, True)
+    for i in range(3):
+        conv_bn((f"reg{i}_cv1",), f"model.23.cv2.{i}.0")
+        conv_bn((f"reg{i}_cv2",), f"model.23.cv2.{i}.1")
+        _put_conv(p, (f"reg{i}_out",), sd, f"model.23.cv2.{i}.2")
+        conv_bn((f"cls{i}_dw1",), f"model.23.cv3.{i}.0.0")
+        conv_bn((f"cls{i}_pw1",), f"model.23.cv3.{i}.0.1")
+        conv_bn((f"cls{i}_dw2",), f"model.23.cv3.{i}.1.0")
+        conv_bn((f"cls{i}_pw2",), f"model.23.cv3.{i}.1.1")
+        _put_conv(p, (f"cls{i}_out",), sd, f"model.23.cv3.{i}.2")
+    return {"params": p, "batch_stats": s}
+
+
 def convert_classifier_state_dict(
     arch: str, state_dict: Mapping[str, np.ndarray]
 ) -> Tree:

@@ -235,3 +235,37 @@ def test_cli_variant_conflict_with_artifact(synth_dataset):
         ]
     )
     assert rc == 2
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF_V1), reason="reference checkout not present"
+)
+@pytest.mark.slow
+def test_cli_loads_variant_ncnn_param(synth_dataset, tmp_path):
+    """--detector_param with a v5u graph: variant inferred from topology,
+    weights ingested directly (synthetic .bin — the real one is stripped
+    upstream)."""
+    import csv
+
+    from test_ncnn_import import V5_PARAM, _synth_variant_bin
+
+    from litepi_tpu.apps.e2e import main
+    from litepi_tpu.weights.ncnn_import import parse_ncnn_param
+
+    bin_path = tmp_path / "v5.bin"
+    bin_path.write_bytes(_synth_variant_bin(parse_ncnn_param(V5_PARAM)))
+    img_dir, lbl_dir = synth_dataset
+    out = tmp_path / "out"
+    rc = main(
+        [
+            "--input", str(img_dir), "--labels", str(lbl_dir),
+            "--detector_param", V5_PARAM,
+            "--detector_bin", str(bin_path),
+            "--num_samples", "2", "--output", str(out), "--device", "cpu",
+            "--warmup", "0", "--batch_size", "2", "--max_det", "8",
+            "--eval_max_candidates", "64", "--eval_max_det", "16",
+        ]
+    )
+    assert rc == 0
+    rows = list(csv.reader(open(out / "comparison_summary.csv")))
+    assert rows[1][0].startswith("yolov5n+")

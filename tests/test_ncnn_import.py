@@ -446,3 +446,173 @@ def test_fp16_compressed_ir_converts_end_to_end(tmp_path):
     _compress_ir_to_fp16(V1_XML, V1_OVBIN, fx, fb)
     variables, cfg = convert_detector_openvino(fx, fb)
     assert cfg.name == YOLO_PLUS_V1.name
+
+
+# --------------------------------------------------------------------------- #
+# v5u / v11 emission-order plans: layer-by-layer topology + synthetic-weight
+# full-graph differentials (their .bins are stripped upstream, so random
+# weights written in declaration order stand in — the differential still
+# machine-verifies conv ORDER, shapes, attention layout, and decode)
+# --------------------------------------------------------------------------- #
+
+V5_PARAM = f"{REF}/tt100k/convert/model/yolo5/yolo5_ncnn_model/model.ncnn.param"
+V11_PARAM = (
+    f"{REF}/tt100k/convert/model/yolo11/yolo11_ncnn_model/model.ncnn.param"
+)
+
+
+@needs_reference
+def test_variant_topology_matches_both_trees():
+    from litepi_tpu.weights.ncnn_import import (
+        parse_ncnn_param,
+        verify_ncnn_variant_topology,
+    )
+
+    for tree in ("tt100k", "vntsr"):
+        m5 = verify_ncnn_variant_topology(
+            parse_ncnn_param(
+                f"{REF}/{tree}/convert/model/yolo5/yolo5_ncnn_model/"
+                "model.ncnn.param"
+            ),
+            "yolov5nu",
+        )
+        assert len(m5) == 76  # 75 graph convs + DFL
+        m11 = verify_ncnn_variant_topology(
+            parse_ncnn_param(
+                f"{REF}/{tree}/convert/model/yolo11/yolo11_ncnn_model/"
+                "model.ncnn.param"
+            ),
+            "yolov11n",
+        )
+        assert len(m11) == 88  # 80 convs + 7 depthwise + DFL
+
+
+@needs_reference
+def test_variant_topology_cross_rejects():
+    from litepi_tpu.weights.ncnn_import import (
+        parse_ncnn_param,
+        verify_ncnn_variant_topology,
+    )
+
+    with pytest.raises(ValueError, match="yolov11n"):
+        verify_ncnn_variant_topology(parse_ncnn_param(V5_PARAM), "yolov11n")
+    with pytest.raises(ValueError, match="yolov5nu"):
+        verify_ncnn_variant_topology(parse_ncnn_param(V11_PARAM), "yolov5nu")
+
+
+def _synth_variant_bin(layers, seed=0):
+    """Write a .bin for a parsed baseline graph: Xavier-ish random conv
+    weights in declaration order, the canonical [0..15] DFL range conv,
+    and the real anchor/stride tables for the MemoryData decode constants
+    (layout verified by test_exported_anchor_tables_match_ours)."""
+    import struct
+
+    from litepi_tpu.ops.anchors import make_anchors
+
+    rng = np.random.RandomState(seed)
+    pts, strides = (np.asarray(t) for t in make_anchors(640))
+    buf = bytearray()
+    for l in layers:
+        if l.type in ("Convolution", "ConvolutionDepthWise"):
+            wsize = int(l.attr(6, 0))
+            out_c = int(l.attr(0))
+            if out_c == 1 and wsize == 16:
+                w = np.arange(16, dtype=np.float32)  # DFL expectation conv
+            else:
+                fan_in = wsize // out_c
+                w = (rng.randn(wsize) / np.sqrt(fan_in)).astype(np.float32)
+            buf += struct.pack("<I", 0) + w.tobytes()
+            if int(l.attr(5, 0)):
+                buf += (rng.randn(out_c) * 0.03).astype(np.float32).tobytes()
+        elif l.type == "MemoryData":
+            w, h = int(l.attr(0, 0)), int(l.attr(1, 0))
+            if h == 2:
+                arr = pts.T  # (2, 8400) anchor points
+            elif w == pts.shape[0] and not h:
+                arr = strides[:, 0]
+            else:
+                raise AssertionError(f"unexpected MemoryData {l.name}")
+            buf += np.ascontiguousarray(arr, np.float32).tobytes()
+    return bytes(buf)
+
+
+@needs_reference
+@pytest.mark.parametrize(
+    "variant,param_path",
+    [("yolov5nu", V5_PARAM), ("yolov11n", V11_PARAM)],
+    ids=["v5u", "v11"],
+)
+def test_variant_synthetic_weight_differential(variant, param_path):
+    """Execute the REAL deployed graph (synthetic weights) through the
+    interpreter and compare out0 with our Flax model fed the same weights
+    through convert_detector_ncnn_variant + our decode — verifies the
+    emission-order plan, the converters (incl. the attention qkv channel
+    permutation), and the architectures themselves, like
+    test_real_weights_full_graph_differential does for yolo_plus."""
+    import jax
+    import jax.numpy as jnp
+
+    from litepi_tpu.ops.anchors import make_anchors
+    from litepi_tpu.ops.dfl import decode_boxes, dfl_decode
+    from litepi_tpu.weights.ncnn_import import (
+        convert_detector_ncnn_variant,
+        parse_ncnn_param,
+        read_ncnn_bin,
+        run_ncnn_graph,
+    )
+
+    layers = parse_ncnn_param(param_path)
+    bin_bytes = _synth_variant_bin(layers)
+    read_ncnn_bin(layers, bin_bytes)
+    img = np.random.RandomState(7).rand(3, 640, 640).astype(np.float32)
+    out_ref = run_ncnn_graph(layers, img)
+    assert out_ref.shape == (5, 8400)
+
+    variables = convert_detector_ncnn_variant(
+        param_path, bin_bytes, variant
+    )
+    if variant == "yolov5nu":
+        from litepi_tpu.models.yolov5 import YoloV5
+
+        model = YoloV5(num_classes=1, anchor_free=True)
+    else:
+        from litepi_tpu.models.yolov11 import YoloV11
+
+        model = YoloV11(num_classes=1)
+    x = jnp.asarray(img.transpose(1, 2, 0))[None]
+    out = model.apply(variables, x, train=False)
+    pts, strides = make_anchors(640)
+    dist = dfl_decode(out["reg"], 16)
+    boxes = decode_boxes(
+        dist, jnp.asarray(pts), jnp.asarray(strides), xywh=True
+    )
+    cls = jax.nn.sigmoid(out["cls"].astype(jnp.float32))
+    ours = np.concatenate(
+        [np.asarray(boxes[0]).T, np.asarray(cls[0]).T], axis=0
+    )
+    np.testing.assert_allclose(ours[:4], out_ref[:4], atol=2e-3)
+    np.testing.assert_allclose(ours[4:], out_ref[4:], atol=1e-5)
+
+
+@needs_reference
+def test_convert_cli_variant_ncnn(tmp_path):
+    """The convert CLI turns a v11 .param/.bin pair into a loadable orbax
+    checkpoint (message parity: e2e's refusal text points v5/v11 users
+    here)."""
+    from litepi_tpu.apps.convert import main
+    from litepi_tpu.weights.checkpoint import load_checkpoint
+    from litepi_tpu.weights.ncnn_import import parse_ncnn_param
+
+    bin_path = tmp_path / "v11.bin"
+    bin_path.write_bytes(_synth_variant_bin(parse_ncnn_param(V11_PARAM)))
+    out = tmp_path / "ckpt"
+    rc = main(
+        [
+            "--arch", "yolov11n", "--num_classes", "1",
+            "--input", V11_PARAM, "--bin", str(bin_path),
+            "--output", str(out), "--input_size", "64",
+        ]
+    )
+    assert rc == 0
+    variables = load_checkpoint(str(out))
+    assert "params" in variables and "batch_stats" in variables
