@@ -199,6 +199,94 @@ def verify_openvino_topology(
         )
 
 
+def verify_openvino_variant_topology(
+    xml_path: str, variant: str, num_classes: int = 1
+) -> None:
+    """Check a baseline IR ('yolov5nu'/'yolov11n') against its canonical
+    conv plan — the OpenVINO sibling of
+    :func:`litepi_tpu.weights.ncnn_import.verify_ncnn_variant_topology`
+    (artifacts: src/*/convert/model/yolo{5,11}/*_openvino_model/*.xml;
+    their .bins are stripped upstream, so shape parity is what is
+    checkable).  Regular conv weights are named Consts; depthwise weights
+    are anonymous, so those are located through their GroupConvolution
+    layer's ``__module.<path>.conv`` name and checked via the weight
+    Const's 5-D ``(g, out/g, in/g, k, k)`` shape."""
+    from litepi_tpu.weights.ncnn_import import _VARIANT_PLANS
+
+    plan_fn, head = _VARIANT_PLANS[variant]
+    plan = plan_fn(num_classes)
+    g = parse_openvino_xml(xml_path)
+    convs = [
+        l for l in g.layers.values()
+        if l.type in ("Convolution", "GroupConvolution")
+    ]
+    errors: List[str] = []
+    if len(convs) != len(plan):
+        errors.append(
+            f"conv count: IR has {len(convs)}, plan expects {len(plan)}"
+        )
+    shapes: Dict[str, Tuple[int, ...]] = {}
+    for l in g.layers.values():
+        if l.type == "Const" and l.name.startswith("self.model."):
+            shape = tuple(
+                int(s)
+                for s in l.data.get("shape", "").replace(" ", "").split(",")
+                if s
+            )
+            shapes[l.name[len("self.") :]] = shape
+    group_layers = {
+        l.name: l for l in g.layers.values() if l.type == "GroupConvolution"
+    }
+    for entry in plan:
+        path, out_c, k = entry[:3]
+        groups = entry[3] if len(entry) > 3 else 1
+        if path == f"model.{head}.dfl":
+            continue  # folded range conv; constant, not a weight
+        if groups > 1:
+            match = [
+                l for name, l in group_layers.items()
+                if name.startswith(f"__module.{path}.conv/")
+            ]
+            if not match:
+                errors.append(f"missing GroupConvolution for {path}")
+                continue
+            w = g.producers.get((match[0].id, 1))
+            if w is not None and g.layers[w].type == "Convert":
+                w = g.producers.get((w, 0))
+            shape = ()
+            if w is not None and g.layers[w].type == "Const":
+                shape = tuple(
+                    int(s)
+                    for s in g.layers[w].data.get("shape", "")
+                    .replace(" ", "").split(",") if s
+                )
+            if (
+                len(shape) != 5
+                or shape[0] != groups
+                or shape[0] * shape[1] != out_c
+                or shape[3:] != (k, k)
+            ):
+                errors.append(
+                    f"{path}: depthwise weight shape {shape}, expected "
+                    f"({groups}, {out_c // groups}, ·, {k}, {k})"
+                )
+            continue
+        is_bare = path.startswith(f"model.{head}.") and path.endswith(".2")
+        key = f"{path}.weight" if is_bare else f"{path}.conv.weight"
+        shape = shapes.get(key)
+        if shape is None:
+            errors.append(f"missing IR Const {key}")
+        elif shape[0] != out_c or shape[2:] != (k, k):
+            errors.append(
+                f"{key}: IR shape {shape}, plan expects ({out_c}, ·, {k}, {k})"
+            )
+    if errors:
+        raise ValueError(
+            f"OpenVINO IR does not match variant {variant!r}:\n  "
+            + "\n  ".join(errors)
+        )
+
+
 def convert_detector_openvino(
     xml_path: str,
     bin_path: str,

@@ -616,3 +616,46 @@ def test_convert_cli_variant_ncnn(tmp_path):
     assert rc == 0
     variables = load_checkpoint(str(out))
     assert "params" in variables and "batch_stats" in variables
+
+
+@needs_reference
+def test_openvino_variant_topology_both_trees():
+    """The baselines' OpenVINO IRs (xml survives, bins stripped) match the
+    same emission plans, incl. the 7 anonymous depthwise weights located
+    through their GroupConvolution layers."""
+    from litepi_tpu.weights.openvino_import import (
+        verify_openvino_variant_topology,
+    )
+
+    for tree in ("tt100k", "vntsr"):
+        verify_openvino_variant_topology(
+            f"{REF}/{tree}/convert/model/yolo5/yolo5_openvino_model/"
+            "yolo5.xml",
+            "yolov5nu",
+        )
+        verify_openvino_variant_topology(
+            f"{REF}/{tree}/convert/model/yolo11/yolo11_openvino_model/"
+            "yolo11.xml",
+            "yolov11n",
+        )
+    with pytest.raises(ValueError, match="yolov5nu"):
+        verify_openvino_variant_topology(
+            f"{REF}/tt100k/convert/model/yolo11/yolo11_openvino_model/"
+            "yolo11.xml",
+            "yolov5nu",
+        )
+
+
+@needs_reference
+def test_openvino_v8_topology_both_trees():
+    """The stock-v8n OpenVINO IRs match the YOLOV8N config through the
+    same name/shape check used for yolo_plus."""
+    from litepi_tpu.core.types import YOLOV8N
+    from litepi_tpu.weights.openvino_import import verify_openvino_topology
+
+    for tree in ("tt100k", "vntsr"):
+        verify_openvino_topology(
+            f"{REF}/{tree}/convert/model/yolo8/yolo8_openvino_model/"
+            "yolo8.xml",
+            YOLOV8N,
+        )
