@@ -149,7 +149,7 @@ def main() -> None:
             np.resize(frames_host, (b,) + frames_host.shape[1:])
         )
 
-        def make_scan(length, fr=fr):
+        def make_scan(length):
             @jax.jit
             def bench_l(det_vars, cls_vars, frames):
                 def body(carry, _):

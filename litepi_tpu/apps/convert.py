@@ -74,6 +74,8 @@ def main(argv=None) -> int:
     is_detector = args.arch in DETECTOR_ARCHS or variant is not None
     cfg = None
     if is_detector and variant is None:
+        import dataclasses
+
         from litepi_tpu.core.types import YOLO_PLUS_V1, YOLO_PLUS_V2, YOLOV8N
 
         cfg = {
@@ -81,101 +83,113 @@ def main(argv=None) -> int:
             "yolo_plus_v1": YOLO_PLUS_V1,
             "yolov8n": YOLOV8N,
         }[args.arch]
+        # fold the requested head width in BEFORE conversion so topology
+        # verification and the converted cls-head shapes agree with the
+        # smoke-test model below (the presets are all single-class)
+        cfg = dataclasses.replace(cfg, num_classes=args.num_classes)
 
     def _variant_convert_sd(sd):
+        from litepi_tpu.weights.ncnn_import import variant_state_converter
         from litepi_tpu.weights.onnx_import import defuse_state_dict
-        from litepi_tpu.weights.torch_import import (
-            convert_yolov5u_state_dict,
-            convert_yolov11_state_dict,
-        )
 
-        conv = {
-            "yolov5nu": convert_yolov5u_state_dict,
-            "yolov11n": convert_yolov11_state_dict,
-        }[variant]
-        return conv(defuse_state_dict(sd))
+        return variant_state_converter(variant)(defuse_state_dict(sd))
 
     # ---- read + convert ------------------------------------------------ #
-    if args.input.endswith((".param", ".xml")):
-        if not is_detector:
-            print(
-                "error: .param/.xml ingestion covers detectors; classifier "
-                "graphs lose their torch names in those exports — convert "
-                "from the .pth or a name-preserving .onnx instead",
-                file=sys.stderr,
-            )
-            return 2
-        import os
-
-        bin_path = args.bin or os.path.splitext(args.input)[0] + ".bin"
-        if args.input.endswith(".param"):
-            if variant is not None:
-                from litepi_tpu.weights.ncnn_import import (
-                    convert_detector_ncnn_variant,
-                )
-
-                variables = convert_detector_ncnn_variant(
-                    args.input, bin_path, variant, args.num_classes
-                )
-            else:
-                from litepi_tpu.weights.ncnn_import import (
-                    convert_detector_ncnn,
-                )
-
-                variables, matched = convert_detector_ncnn(
-                    args.input, bin_path, cfg
-                )
-        else:
-            if variant is not None:
+    try:
+        if args.input.endswith((".param", ".xml")):
+            if not is_detector:
                 print(
-                    "error: OpenVINO IR ingestion covers the yolo_plus/"
-                    "yolov8 family; convert v5n/v11n from the .param pair "
-                    "or a .pt/.onnx export instead",
+                    "error: .param/.xml ingestion covers detectors; "
+                    "classifier graphs lose their torch names in those "
+                    "exports — convert from the .pth or a name-preserving "
+                    ".onnx instead",
                     file=sys.stderr,
                 )
                 return 2
-            from litepi_tpu.weights.openvino_import import (
-                convert_detector_openvino,
-            )
+            import os
 
-            variables, matched = convert_detector_openvino(
-                args.input, bin_path, cfg
-            )
-    elif args.input.endswith(".onnx"):
-        if variant is not None:
-            from litepi_tpu.weights.onnx_import import read_onnx_initializers
+            bin_path = args.bin or os.path.splitext(args.input)[0] + ".bin"
+            if args.input.endswith(".param"):
+                if variant is not None:
+                    from litepi_tpu.weights.ncnn_import import (
+                        convert_detector_ncnn_variant,
+                    )
 
-            variables = _variant_convert_sd(
-                read_onnx_initializers(args.input)
-            )
-        elif is_detector:
-            from litepi_tpu.weights.onnx_import import convert_detector_onnx
+                    variables = convert_detector_ncnn_variant(
+                        args.input, bin_path, variant, args.num_classes
+                    )
+                else:
+                    from litepi_tpu.weights.ncnn_import import (
+                        convert_detector_ncnn,
+                    )
 
-            variables = convert_detector_onnx(args.input, cfg.depths)
+                    variables, _ = convert_detector_ncnn(
+                        args.input, bin_path, cfg
+                    )
+            else:
+                if variant is not None:
+                    from litepi_tpu.weights.openvino_import import (
+                        convert_detector_openvino_variant,
+                    )
+
+                    variables = convert_detector_openvino_variant(
+                        args.input, bin_path, variant, args.num_classes
+                    )
+                else:
+                    from litepi_tpu.weights.openvino_import import (
+                        convert_detector_openvino,
+                    )
+
+                    variables, _ = convert_detector_openvino(
+                        args.input, bin_path, cfg
+                    )
+        elif args.input.endswith(".onnx"):
+            if variant is not None:
+                from litepi_tpu.weights.onnx_import import (
+                    read_onnx_initializers,
+                )
+
+                variables = _variant_convert_sd(
+                    read_onnx_initializers(args.input)
+                )
+            elif is_detector:
+                from litepi_tpu.weights.onnx_import import (
+                    convert_detector_onnx,
+                )
+
+                variables = convert_detector_onnx(args.input, cfg.depths)
+            else:
+                from litepi_tpu.weights.onnx_import import (
+                    convert_classifier_onnx,
+                )
+
+                variables = convert_classifier_onnx(args.arch, args.input)
         else:
-            from litepi_tpu.weights.onnx_import import convert_classifier_onnx
-
-            variables = convert_classifier_onnx(args.arch, args.input)
-    else:
-        from litepi_tpu.weights.torch_import import (
-            convert_classifier_state_dict,
-            convert_detector_state_dict,
-            load_torch_state_dict,
-        )
-
-        sd = load_torch_state_dict(args.input)
-        if variant is not None:
-            variables = _variant_convert_sd(sd)
-        elif is_detector:
-            # tolerate fused exports saved back to .pth (identity-BN
-            # rebuild is a no-op for ordinary unfused dicts)
-            from litepi_tpu.weights.onnx_import import defuse_state_dict
-
-            variables = convert_detector_state_dict(
-                defuse_state_dict(sd), cfg.depths
+            from litepi_tpu.weights.torch_import import (
+                convert_classifier_state_dict,
+                convert_detector_state_dict,
+                load_torch_state_dict,
             )
-        else:
-            variables = convert_classifier_state_dict(args.arch, sd)
+
+            sd = load_torch_state_dict(args.input)
+            if variant is not None:
+                variables = _variant_convert_sd(sd)
+            elif is_detector:
+                # tolerate fused exports saved back to .pth (identity-BN
+                # rebuild is a no-op for ordinary unfused dicts)
+                from litepi_tpu.weights.onnx_import import defuse_state_dict
+
+                variables = convert_detector_state_dict(
+                    defuse_state_dict(sd), cfg.depths
+                )
+            else:
+                variables = convert_classifier_state_dict(args.arch, sd)
+    # a missing/mispaired .bin, a graph that fails topology verification,
+    # or a state dict from a different architecture all surface here —
+    # keep the CLI's pointed-error contract (rc 2, no traceback)
+    except (OSError, ValueError, KeyError) as e:
+        print(f"error: {args.input}: {e}", file=sys.stderr)
+        return 2
 
     # ---- export smoke test --------------------------------------------- #
     rng = np.random.default_rng(0)
@@ -190,13 +204,9 @@ def main(argv=None) -> int:
 
             model = YoloV11(num_classes=args.num_classes)
         else:
-            import dataclasses
-
             from litepi_tpu.models import YoloLitePi
 
-            model = YoloLitePi(
-                dataclasses.replace(cfg, num_classes=args.num_classes)
-            )
+            model = YoloLitePi(cfg)  # num_classes already folded in
         x = rng.uniform(0, 1, (1, size, size, 3)).astype(np.float32)
         out = model.apply(variables, x, train=False)
         n_anchors = sum((size // s) ** 2 for s in (8, 16, 32))

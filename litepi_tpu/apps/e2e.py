@@ -6,9 +6,11 @@ formats, converted on the fly (all collapse onto the one XLA backend):
 
 * ``--detector_param model.ncnn.param --detector_bin model.ncnn.bin`` —
   the reference CLI's native flags (e2e.py:195-220 ``NCNNDetector``);
-  the yolo_plus variant is inferred from the graph topology;
+  the architecture (yolo_plus v1/v2, yolov8n, yolov5nu, yolov11n) is
+  inferred from the graph topology;
 * ``--detector foo.xml`` — OpenVINO IR (+ sibling ``.bin`` or
-  ``--detector_bin``), the runner.py backend's format;
+  ``--detector_bin``), the runner.py backend's format; same
+  topology-probe family coverage as ``.param``;
 * ``--detector foo.onnx`` — the ONNX export;
 * ``--detector best.pt`` — an Ultralytics training container;
 * ``--detector ckpt_dir`` — an orbax checkpoint (apps/convert.py output).
@@ -26,6 +28,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import pickle
 import sys
 
 
@@ -176,26 +179,46 @@ def main(argv=None) -> int:
                 )
                 return 2
     elif args.detector and args.detector.endswith(".xml"):
-        from litepi_tpu.core.types import YOLO_PLUS_V1, YOLO_PLUS_V2
+        from litepi_tpu.core.types import YOLO_PLUS_V1, YOLO_PLUS_V2, YOLOV8N
         from litepi_tpu.weights.openvino_import import (
+            parse_openvino_xml,
             verify_openvino_topology,
+            verify_openvino_variant_topology,
         )
 
-        for cand in (YOLO_PLUS_V2, YOLO_PLUS_V1):
+        inferred_cfg = None
+        try:
+            ir_graph = parse_openvino_xml(args.detector)
+        # SyntaxError covers xml.etree's ParseError on malformed IRs
+        except (OSError, SyntaxError, ValueError) as e:
+            print(f"error: --detector: {e}", file=sys.stderr)
+            return 2
+        for cand in (YOLO_PLUS_V2, YOLO_PLUS_V1, YOLOV8N):
             try:
-                verify_openvino_topology(args.detector, cand)
+                verify_openvino_topology(args.detector, cand, graph=ir_graph)
                 inferred_cfg = cand
                 inferred_variant = cand.name
                 break
             except ValueError:
                 continue
-            # SyntaxError covers xml.etree's ParseError on malformed IRs
-            except (OSError, SyntaxError) as e:
-                print(f"error: --detector: {e}", file=sys.stderr)
-                return 2
+        if inferred_variant is None:
+            # the reference also deploys yolov5nu/yolov11n OpenVINO IRs
+            # (src/*/convert/model/yolo{5,11}/*_openvino_model)
+            for ir_variant, cli_name in (
+                ("yolov5nu", "yolov5n"), ("yolov11n", "yolov11n")
+            ):
+                try:
+                    verify_openvino_variant_topology(
+                        args.detector, ir_variant, graph=ir_graph
+                    )
+                    inferred_variant = cli_name
+                    break
+                except ValueError:
+                    continue
         if inferred_variant is None:
             print(
-                f"error: {args.detector} matches neither yolo_plus variant",
+                f"error: {args.detector} matches no deployed detector "
+                "topology (yolo_plus v1/v2, yolov8n, yolov5nu, yolov11n)",
                 file=sys.stderr,
             )
             return 2
@@ -340,14 +363,13 @@ def main(argv=None) -> int:
         # default, matching the reference's fused exports
         det_model = None
     det = args.detector or ""
-    artifact = args.detector_param or det.endswith((".xml", ".onnx", ".pt", ".pth"))
-    if artifact and not args.detector_param and args.detector_variant in (
+    if det.endswith((".onnx", ".pt", ".pth")) and args.detector_variant in (
         "yolov5n", "yolov5n_legacy", "yolov11n"
     ):
         print(
             "error: direct v5n/v11n artifact loading covers NCNN .param "
-            "pairs; convert other formats to an orbax checkpoint with "
-            "apps/convert.py first",
+            "pairs and OpenVINO .xml IRs; convert other formats to an "
+            "orbax checkpoint with apps/convert.py first",
             file=sys.stderr,
         )
         return 2
@@ -359,8 +381,9 @@ def main(argv=None) -> int:
         )
 
         try:
+            # param_layers from the early topology probe skips the re-parse
             det_vars = convert_detector_ncnn_variant(
-                args.detector_param, args.detector_bin,
+                param_layers, args.detector_bin,
                 "yolov5nu" if args.detector_variant == "yolov5n"
                 else "yolov11n",
                 cfg.detector.num_classes,
@@ -372,41 +395,61 @@ def main(argv=None) -> int:
         from litepi_tpu.weights.ncnn_import import convert_detector_ncnn
 
         try:
-            # inferred_cfg from the early topology probe skips re-inference
+            # param_layers/inferred_cfg from the probe skip re-parse/-inference
             det_vars, _ = convert_detector_ncnn(
-                args.detector_param, args.detector_bin, inferred_cfg
+                param_layers, args.detector_bin, inferred_cfg
             )
         except (OSError, ValueError) as e:
             print(f"error: --detector_bin: {e}", file=sys.stderr)
             return 2
     elif det.endswith(".xml"):
-        from litepi_tpu.weights.openvino_import import (
-            convert_detector_openvino,
-        )
-
+        ov_bin = args.detector_bin or det[: -len(".xml")] + ".bin"
         try:
-            det_vars, _ = convert_detector_openvino(
-                det,
-                args.detector_bin or det[: -len(".xml")] + ".bin",
-                inferred_cfg,
-            )
+            if args.detector_variant in ("yolov5n", "yolov11n"):
+                from litepi_tpu.weights.openvino_import import (
+                    convert_detector_openvino_variant,
+                )
+
+                det_vars = convert_detector_openvino_variant(
+                    det, ov_bin,
+                    "yolov5nu" if args.detector_variant == "yolov5n"
+                    else "yolov11n",
+                    cfg.detector.num_classes,
+                    graph=ir_graph,
+                )
+            else:
+                from litepi_tpu.weights.openvino_import import (
+                    convert_detector_openvino,
+                )
+
+                det_vars, _ = convert_detector_openvino(
+                    det, ov_bin, inferred_cfg, graph=ir_graph
+                )
         except (OSError, ValueError) as e:
             print(f"error: --detector: {e}", file=sys.stderr)
             return 2
     elif det.endswith(".onnx"):
         from litepi_tpu.weights.onnx_import import convert_detector_onnx
 
-        det_vars = convert_detector_onnx(det, cfg.detector.depths)
+        try:
+            det_vars = convert_detector_onnx(det, cfg.detector.depths)
+        except (OSError, ValueError, KeyError) as e:
+            print(f"error: --detector: {e}", file=sys.stderr)
+            return 2
     elif det.endswith((".pt", ".pth")):
         from litepi_tpu.weights.onnx_import import defuse_state_dict
         from litepi_tpu.weights.torch_import import (
             convert_detector_state_dict,
         )
 
-        det_vars = convert_detector_state_dict(
-            defuse_state_dict(load_torch_state_dict(det)),
-            cfg.detector.depths,
-        )
+        try:
+            det_vars = convert_detector_state_dict(
+                defuse_state_dict(load_torch_state_dict(det)),
+                cfg.detector.depths,
+            )
+        except (OSError, ValueError, KeyError, pickle.UnpicklingError) as e:
+            print(f"error: --detector: {e}", file=sys.stderr)
+            return 2
     elif det and det != "random":
         det_vars = load_checkpoint(det)
     else:

@@ -266,7 +266,10 @@ class StreamingRunner:
             "frames": len(paths),
             "seconds": dt,
             "fps": len(paths) / dt if dt > 0 else 0.0,
-            "threads": threads,
+            # the cv2 fallback decodes on one thread regardless of the
+            # request — report what actually ran so the per-core scaling
+            # model is never fed an N-thread number measured on 1 thread
+            "threads": threads if loader is not None else 1,
         }
 
     def close(self) -> None:

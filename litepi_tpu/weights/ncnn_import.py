@@ -496,6 +496,26 @@ _VARIANT_PLANS = {
 }
 
 
+def variant_state_converter(variant: str):
+    """Fused-state-dict -> Flax-variables converter for a baseline
+    variant — the single registry shared by the NCNN/OpenVINO/CLI
+    ingestion paths (keep in sync with ``_VARIANT_PLANS``)."""
+    from litepi_tpu.weights.torch_import import (
+        convert_yolov5u_state_dict,
+        convert_yolov11_state_dict,
+    )
+
+    converters = {
+        "yolov5nu": convert_yolov5u_state_dict,
+        "yolov11n": convert_yolov11_state_dict,
+    }
+    if variant not in converters:
+        raise ValueError(
+            f"unknown variant {variant!r}; choices: {sorted(converters)}"
+        )
+    return converters[variant]
+
+
 def verify_ncnn_variant_topology(
     layers: Sequence[NcnnLayer],
     variant: str,
@@ -595,36 +615,37 @@ def convert_detector_ncnn_variant(
     or YoloV11 (reference deploys both alongside yolo_plus —
     src/*/convert/model/{yolo5,yolo11}/)."""
     from litepi_tpu.weights.onnx_import import defuse_state_dict
-    from litepi_tpu.weights.torch_import import (
-        convert_yolov5u_state_dict,
-        convert_yolov11_state_dict,
-    )
 
-    layers = parse_ncnn_param(param_path)
+    layers = (
+        param_path if isinstance(param_path, (list, tuple))
+        else parse_ncnn_param(param_path)
+    )
     read_ncnn_bin(layers, bin_path)
     sd = defuse_state_dict(
         ncnn_variant_state_dict(layers, variant, num_classes)
     )
-    conv = {
-        "yolov5nu": convert_yolov5u_state_dict,
-        "yolov11n": convert_yolov11_state_dict,
-    }[variant]
-    return conv(sd)
+    return variant_state_converter(variant)(sd)
 
 
 def convert_detector_ncnn(
-    param_path: str,
+    param_path,
     bin_path: str,
     cfg: Optional[DetectorConfig] = None,
 ):
     """NCNN export -> (YoloLitePi variables, matched config).
 
-    With ``cfg=None`` the variant is inferred from the stem width
-    (model.ncnn.param:2 ``conv_2 0=8`` -> v1, ``0=16`` -> v2)."""
+    ``param_path`` is a path/text or an already-parsed layer list (the
+    e2e CLI probes topology first and passes its parse along).  With
+    ``cfg=None`` the variant is inferred from the graph topology
+    (model.ncnn.param:2 ``conv_2 0=8`` -> v1, ``0=16`` -> v2; the
+    stock-v8n export shares the emission plan at v8n widths)."""
     from litepi_tpu.weights.onnx_import import defuse_state_dict
     from litepi_tpu.weights.torch_import import convert_detector_state_dict
 
-    layers = parse_ncnn_param(param_path)
+    layers = (
+        param_path if isinstance(param_path, (list, tuple))
+        else parse_ncnn_param(param_path)
+    )
     if cfg is None:
         cfg = infer_detector_config(layers)
     read_ncnn_bin(layers, bin_path)
@@ -633,18 +654,20 @@ def convert_detector_ncnn(
 
 
 def infer_detector_config(layers: Sequence[NcnnLayer]) -> DetectorConfig:
-    """Pick the yolo_plus variant whose topology matches the graph."""
-    from litepi_tpu.core.types import YOLO_PLUS_V1, YOLO_PLUS_V2
+    """Pick the config whose topology matches the graph: yolo_plus v2/v1
+    or the stock yolov8n baseline (src/*/convert/model/yolo8 — same
+    emission plan, v8n widths)."""
+    from litepi_tpu.core.types import YOLO_PLUS_V1, YOLO_PLUS_V2, YOLOV8N
 
     errs = []
-    for cfg in (YOLO_PLUS_V2, YOLO_PLUS_V1):
+    for cfg in (YOLO_PLUS_V2, YOLO_PLUS_V1, YOLOV8N):
         try:
             verify_ncnn_topology(layers, cfg)
             return cfg
         except ValueError as e:
             errs.append(str(e).splitlines()[0])
     raise ValueError(
-        "graph matches neither yolo_plus variant: " + "; ".join(errs)
+        "graph matches no yolo_plus/yolov8n config: " + "; ".join(errs)
     )
 
 

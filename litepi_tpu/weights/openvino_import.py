@@ -105,15 +105,16 @@ def _module_path(conv_name: str) -> Optional[str]:
 
 
 def openvino_state_dict(
-    xml_path: str, bin_path: str
+    xml_path: str, bin_path: str, graph: Optional[IrGraph] = None
 ) -> Dict[str, np.ndarray]:
     """IR -> Ultralytics-style (fused) state dict.
 
     Weights come from the named Consts; biases from the Add that consumes
     each Convolution's output (shape ``(1, C, 1, 1)`` Const, C = the conv's
-    out-channels).  fp16 IRs upcast to float32.
+    out-channels).  fp16 IRs upcast to float32.  ``graph`` reuses an
+    already-parsed IR (the e2e CLI parses once at its topology probe).
     """
-    g = parse_openvino_xml(xml_path)
+    g = graph if graph is not None else parse_openvino_xml(xml_path)
     blob = open(bin_path, "rb").read()
     sd: Dict[str, np.ndarray] = {}
     for layer in g.layers.values():
@@ -123,11 +124,28 @@ def openvino_state_dict(
                 arr = arr.astype(np.float32)
             sd[layer.name[len("self.") :]] = arr
     for layer in g.layers.values():
-        if layer.type != "Convolution":
+        if layer.type not in ("Convolution", "GroupConvolution"):
             continue
         path = _module_path(layer.name)
         if path is None:
             continue
+        if layer.type == "GroupConvolution":
+            # depthwise weights are anonymous Consts (no ``self.model.*``
+            # name) — recover them through the conv's port-1 producer and
+            # flatten the 5-D (g, out/g, in/g, k, k) grouped layout to the
+            # torch depthwise (out, in/g, k, k) the converters expect
+            w = g.producers.get((layer.id, 1))
+            if w is not None and g.layers[w].type == "Convert":
+                w = g.producers.get((w, 0))
+            if w is not None and g.layers[w].type == "Const":
+                arr = _const_array(g.layers[w], blob)
+                if arr.dtype == np.float16:
+                    arr = arr.astype(np.float32)
+                if arr.ndim == 5:
+                    arr = arr.reshape(
+                        arr.shape[0] * arr.shape[1], *arr.shape[2:]
+                    )
+                sd[f"{path}.weight"] = arr
         for to_layer, to_port in g.consumers.get(layer.id, []):
             consumer = g.layers[to_layer]
             if consumer.type != "Add":
@@ -153,7 +171,7 @@ def openvino_state_dict(
 
 
 def verify_openvino_topology(
-    xml_path: str, cfg: DetectorConfig
+    xml_path: str, cfg: DetectorConfig, graph: Optional[IrGraph] = None
 ) -> None:
     """Check the IR's convolution set against ``cfg``: every expected
     module path must appear with the expected (out, in-divisible, k, k)
@@ -161,7 +179,7 @@ def verify_openvino_topology(
     (reference: yolo_plus.xml:4-7 declares the (1,3,640,640) Parameter)."""
     from litepi_tpu.weights.ncnn_import import ultralytics_conv_plan
 
-    g = parse_openvino_xml(xml_path)
+    g = graph if graph is not None else parse_openvino_xml(xml_path)
     plan = ultralytics_conv_plan(cfg)
     convs = [l for l in g.layers.values() if l.type == "Convolution"]
     errors: List[str] = []
@@ -200,7 +218,10 @@ def verify_openvino_topology(
 
 
 def verify_openvino_variant_topology(
-    xml_path: str, variant: str, num_classes: int = 1
+    xml_path: str,
+    variant: str,
+    num_classes: int = 1,
+    graph: Optional[IrGraph] = None,
 ) -> None:
     """Check a baseline IR ('yolov5nu'/'yolov11n') against its canonical
     conv plan — the OpenVINO sibling of
@@ -215,7 +236,7 @@ def verify_openvino_variant_topology(
 
     plan_fn, head = _VARIANT_PLANS[variant]
     plan = plan_fn(num_classes)
-    g = parse_openvino_xml(xml_path)
+    g = graph if graph is not None else parse_openvino_xml(xml_path)
     convs = [
         l for l in g.layers.values()
         if l.type in ("Convolution", "GroupConvolution")
@@ -291,26 +312,56 @@ def convert_detector_openvino(
     xml_path: str,
     bin_path: str,
     cfg: Optional[DetectorConfig] = None,
+    graph: Optional[IrGraph] = None,
 ):
-    """OpenVINO IR -> (YoloLitePi variables, matched config)."""
-    from litepi_tpu.core.types import YOLO_PLUS_V1, YOLO_PLUS_V2
+    """OpenVINO IR -> (YoloLitePi variables, matched config).
+
+    Covers the yolo_plus v2/v1 and stock-yolov8n IRs (all share the
+    model.22 head layout); with ``cfg=None`` the matching config is
+    inferred from the IR's conv shapes."""
+    from litepi_tpu.core.types import YOLO_PLUS_V1, YOLO_PLUS_V2, YOLOV8N
     from litepi_tpu.weights.onnx_import import defuse_state_dict
     from litepi_tpu.weights.torch_import import convert_detector_state_dict
 
+    if graph is None:
+        graph = parse_openvino_xml(xml_path)
     if cfg is None:
         errs = []
-        for cand in (YOLO_PLUS_V2, YOLO_PLUS_V1):
+        for cand in (YOLO_PLUS_V2, YOLO_PLUS_V1, YOLOV8N):
             try:
-                verify_openvino_topology(xml_path, cand)
+                verify_openvino_topology(xml_path, cand, graph=graph)
                 cfg = cand
                 break
             except ValueError as e:
                 errs.append(str(e).splitlines()[0])
         if cfg is None:
             raise ValueError(
-                "IR matches neither yolo_plus variant: " + "; ".join(errs)
+                "IR matches no yolo_plus/yolov8n config: " + "; ".join(errs)
             )
     else:
-        verify_openvino_topology(xml_path, cfg)
-    sd = defuse_state_dict(openvino_state_dict(xml_path, bin_path))
+        verify_openvino_topology(xml_path, cfg, graph=graph)
+    sd = defuse_state_dict(openvino_state_dict(xml_path, bin_path, graph=graph))
     return convert_detector_state_dict(sd, cfg.depths), cfg
+
+
+def convert_detector_openvino_variant(
+    xml_path: str,
+    bin_path: str,
+    variant: str,
+    num_classes: int = 1,
+    graph: Optional[IrGraph] = None,
+):
+    """Baseline-variant IR ('yolov5nu'/'yolov11n') -> Flax variables for
+    YoloV5(anchor_free=True) / YoloV11 — the OpenVINO sibling of
+    :func:`litepi_tpu.weights.ncnn_import.convert_detector_ncnn_variant`
+    (artifacts: src/*/convert/model/yolo{5,11}/*_openvino_model/)."""
+    from litepi_tpu.weights.ncnn_import import variant_state_converter
+    from litepi_tpu.weights.onnx_import import defuse_state_dict
+
+    if graph is None:
+        graph = parse_openvino_xml(xml_path)
+    verify_openvino_variant_topology(
+        xml_path, variant, num_classes, graph=graph
+    )
+    sd = defuse_state_dict(openvino_state_dict(xml_path, bin_path, graph=graph))
+    return variant_state_converter(variant)(sd)

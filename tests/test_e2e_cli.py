@@ -269,3 +269,80 @@ def test_cli_loads_variant_ncnn_param(synth_dataset, tmp_path):
     assert rc == 0
     rows = list(csv.reader(open(out / "comparison_summary.csv")))
     assert rows[1][0].startswith("yolov5n+")
+
+
+REF_V8 = "/root/reference/src/tt100k/convert/model/yolo8"
+REF_V5_OV = (
+    "/root/reference/src/tt100k/convert/model/yolo5/yolo5_openvino_model"
+)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF_V8), reason="reference checkout not present"
+)
+@pytest.mark.slow
+def test_cli_loads_yolov8n_ncnn_pair(synth_dataset, tmp_path):
+    """--detector_param with the stock-v8n deployed graph: the topology
+    probe recognises all four shipped NCNN families, not just yolo_plus
+    (synthetic .bin — the real one is stripped upstream)."""
+    import csv
+
+    from test_ncnn_import import _synth_variant_bin
+
+    from litepi_tpu.apps.e2e import main
+    from litepi_tpu.weights.ncnn_import import parse_ncnn_param
+
+    param = f"{REF_V8}/yolo8_ncnn_model/model.ncnn.param"
+    bin_path = tmp_path / "v8.bin"
+    bin_path.write_bytes(_synth_variant_bin(parse_ncnn_param(param)))
+    img_dir, lbl_dir = synth_dataset
+    out = tmp_path / "out"
+    rc = main(
+        [
+            "--input", str(img_dir), "--labels", str(lbl_dir),
+            "--detector_param", param,
+            "--detector_bin", str(bin_path),
+            "--det_input_size", "160",
+            "--num_samples", "2", "--output", str(out), "--device", "cpu",
+            "--warmup", "0", "--batch_size", "2", "--max_det", "8",
+            "--eval_max_candidates", "64", "--eval_max_det", "16",
+        ]
+    )
+    assert rc == 0
+    rows = list(csv.reader(open(out / "comparison_summary.csv")))
+    assert rows[1][0].startswith("yolov8n+")
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF_V5_OV), reason="reference checkout not present"
+)
+@pytest.mark.slow
+def test_cli_loads_variant_openvino_xml(synth_dataset, tmp_path):
+    """--detector with a baseline OpenVINO IR: variant inferred from the
+    IR topology, weights ingested directly (synthetic blob — the real
+    .bin is stripped upstream)."""
+    import csv
+
+    from test_ncnn_import import _synth_ir_blob
+
+    from litepi_tpu.apps.e2e import main
+
+    xml = f"{REF_V5_OV}/yolo5.xml"
+    blob = tmp_path / "yolo5.bin"
+    blob.write_bytes(_synth_ir_blob(xml))
+    img_dir, lbl_dir = synth_dataset
+    out = tmp_path / "out"
+    rc = main(
+        [
+            "--input", str(img_dir), "--labels", str(lbl_dir),
+            "--detector", xml,
+            "--detector_bin", str(blob),
+            "--det_input_size", "160",
+            "--num_samples", "2", "--output", str(out), "--device", "cpu",
+            "--warmup", "0", "--batch_size", "2", "--max_det", "8",
+            "--eval_max_candidates", "64", "--eval_max_det", "16",
+        ]
+    )
+    assert rc == 0
+    rows = list(csv.reader(open(out / "comparison_summary.csv")))
+    assert rows[1][0].startswith("yolov5n+")

@@ -659,3 +659,179 @@ def test_openvino_v8_topology_both_trees():
             "yolo8.xml",
             YOLOV8N,
         )
+
+
+V8_PARAM = f"{REF}/tt100k/convert/model/yolo8/yolo8_ncnn_model/model.ncnn.param"
+V8_XML = f"{REF}/tt100k/convert/model/yolo8/yolo8_openvino_model/yolo8.xml"
+V5_XML = f"{REF}/tt100k/convert/model/yolo5/yolo5_openvino_model/yolo5.xml"
+V11_XML = (
+    f"{REF}/tt100k/convert/model/yolo11/yolo11_openvino_model/yolo11.xml"
+)
+
+
+def _synth_ir_blob(xml_path, seed=0):
+    """Random-but-valid weights blob for a shipped IR whose ``.bin`` is
+    stripped upstream: fill every float Const's [offset, offset+size)
+    span with small normals (integer/shape Consts stay zero — the
+    ingestion path only reads weight/bias Consts)."""
+    from litepi_tpu.weights.openvino_import import parse_openvino_xml
+
+    rng = np.random.RandomState(seed)
+    g = parse_openvino_xml(xml_path)
+    consts = [
+        l for l in g.layers.values()
+        if l.type == "Const" and "offset" in l.data
+    ]
+    end = max(int(l.data["offset"]) + int(l.data["size"]) for l in consts)
+    buf = bytearray(end)
+    for l in consts:
+        off, size = int(l.data["offset"]), int(l.data["size"])
+        et = l.data.get("element_type")
+        if et == "f32":
+            vals = (rng.randn(size // 4) * 0.05).astype("<f4")
+        elif et == "f16":
+            vals = (rng.randn(size // 2) * 0.05).astype("<f2")
+        else:
+            continue
+        buf[off : off + size] = vals.tobytes()
+    return bytes(buf)
+
+
+def _tree_shapes(tree):
+    import jax
+
+    return jax.tree_util.tree_map(lambda a: tuple(np.shape(a)), tree)
+
+
+@needs_reference
+def test_infer_detector_config_covers_v8n():
+    """infer_detector_config recognises the stock-v8n deployed graph, so
+    the e2e CLI's --detector_param probe covers all four shipped NCNN
+    families (reference: src/tt100k/convert/model/yolo8)."""
+    from litepi_tpu.weights.ncnn_import import (
+        infer_detector_config,
+        parse_ncnn_param,
+    )
+
+    cfg = infer_detector_config(parse_ncnn_param(V8_PARAM))
+    assert cfg.name == "yolov8n"
+
+
+@needs_reference
+@pytest.mark.parametrize(
+    "variant,param_path,xml_path",
+    [("yolov5nu", V5_PARAM, V5_XML), ("yolov11n", V11_PARAM, V11_XML)],
+    ids=["v5u", "v11"],
+)
+def test_openvino_variant_ingestion_matches_ncnn_shapes(
+    variant, param_path, xml_path, tmp_path
+):
+    """convert_detector_openvino_variant produces the exact variable tree
+    the NCNN converter does (incl. the anonymous depthwise weights
+    recovered through GroupConvolution layers in the v11 head)."""
+    from litepi_tpu.weights.ncnn_import import (
+        convert_detector_ncnn_variant,
+        parse_ncnn_param,
+    )
+    from litepi_tpu.weights.openvino_import import (
+        convert_detector_openvino_variant,
+    )
+
+    layers = parse_ncnn_param(param_path)
+    ncnn_vars = convert_detector_ncnn_variant(
+        layers, _synth_variant_bin(layers), variant
+    )
+    blob = tmp_path / "ir.bin"
+    blob.write_bytes(_synth_ir_blob(xml_path))
+    ir_vars = convert_detector_openvino_variant(
+        xml_path, str(blob), variant
+    )
+    assert _tree_shapes(ir_vars) == _tree_shapes(ncnn_vars)
+
+
+@needs_reference
+def test_openvino_v8_ingestion_matches_ncnn_shapes(tmp_path):
+    """The stock-v8n IR converts through convert_detector_openvino with
+    the config inferred from the graph, matching the NCNN-converted
+    variable tree."""
+    from litepi_tpu.weights.ncnn_import import (
+        convert_detector_ncnn,
+        parse_ncnn_param,
+    )
+    from litepi_tpu.weights.openvino_import import convert_detector_openvino
+
+    layers = parse_ncnn_param(V8_PARAM)
+    ncnn_vars, cfg = convert_detector_ncnn(
+        layers, _synth_variant_bin(layers)
+    )
+    assert cfg.name == "yolov8n"
+    blob = tmp_path / "v8.bin"
+    blob.write_bytes(_synth_ir_blob(V8_XML))
+    ir_vars, ir_cfg = convert_detector_openvino(V8_XML, str(blob))
+    assert ir_cfg.name == "yolov8n"
+    assert _tree_shapes(ir_vars) == _tree_shapes(ncnn_vars)
+
+
+@needs_reference
+def test_convert_cli_variant_openvino(tmp_path):
+    """The convert CLI ingests a baseline OpenVINO IR (v11: exercises the
+    depthwise-weight recovery) into a loadable orbax checkpoint."""
+    from litepi_tpu.apps.convert import main
+    from litepi_tpu.weights.checkpoint import load_checkpoint
+
+    blob = tmp_path / "v11.bin"
+    blob.write_bytes(_synth_ir_blob(V11_XML))
+    out = tmp_path / "ckpt"
+    rc = main(
+        [
+            "--arch", "yolov11n", "--num_classes", "1",
+            "--input", V11_XML, "--bin", str(blob),
+            "--output", str(out), "--input_size", "64",
+        ]
+    )
+    assert rc == 0
+    variables = load_checkpoint(str(out))
+    assert "params" in variables and "batch_stats" in variables
+
+
+@needs_reference
+def test_convert_cli_error_paths(tmp_path, capsys):
+    """Ingestion failures exit rc=2 with a pointed message, not a
+    traceback: missing .bin, arch/graph mismatch, and a --num_classes that
+    contradicts the graph's head (the class count is folded into the
+    config BEFORE conversion, so the topology check catches it)."""
+    from litepi_tpu.apps.convert import main
+
+    # missing sibling .bin
+    rc = main(
+        [
+            "--arch", "yolo_plus_v1", "--num_classes", "1",
+            "--input", V1_PARAM, "--bin", str(tmp_path / "nope.bin"),
+            "--output", str(tmp_path / "c1"),
+        ]
+    )
+    assert rc == 2
+    assert "Traceback" not in capsys.readouterr().err
+
+    # arch does not match the graph
+    rc = main(
+        [
+            "--arch", "yolo_plus_v2", "--num_classes", "1",
+            "--input", V1_PARAM, "--bin", V1_BIN,
+            "--output", str(tmp_path / "c2"),
+        ]
+    )
+    assert rc == 2
+    assert "Traceback" not in capsys.readouterr().err
+
+    # class count contradicts the exported single-class head
+    rc = main(
+        [
+            "--arch", "yolo_plus_v1", "--num_classes", "2",
+            "--input", V1_PARAM, "--bin", V1_BIN,
+            "--output", str(tmp_path / "c3"),
+        ]
+    )
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "Traceback" not in err
