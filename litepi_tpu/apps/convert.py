@@ -14,7 +14,14 @@ into orbax checkpoints the pipeline loads directly:
   package),
 * NCNN ``.param`` graphs (+ ``--bin``; the reference's fastest deployed
   format, e2e.py:195-220) — variant checked against the graph topology,
-* OpenVINO IR ``.xml`` (+ sibling or ``--bin`` weights, runner.py:175-222).
+* OpenVINO IR ``.xml`` (+ sibling or ``--bin`` weights, runner.py:175-222),
+* orbax checkpoint directories (this framework's own training output).
+
+The reverse direction exists too: ``--emit ncnn`` writes a deployable
+``model.ncnn.param``/``.bin`` pair (+ metadata.yaml) structurally identical
+to the reference's shipped exports — the pnnx export flow of
+``convert_model_detect.ipynb`` rebuilt TPU-side (weights/ncnn_export.py),
+so a detector trained here drops back onto the reference's Pi pipeline.
 
     python -m litepi_tpu.apps.convert \
         --arch shufflenetv2 --num_classes 91 \
@@ -64,7 +71,29 @@ def main(argv=None) -> int:
     )
     p.add_argument("--output", required=True, help="orbax checkpoint dir")
     p.add_argument("--input_size", type=int, default=64)
+    p.add_argument(
+        "--emit", choices=("orbax", "ncnn"), default="orbax",
+        help="output format: orbax checkpoint dir (default), or an NCNN "
+        ".param/.bin pair — the reference deployment's native format "
+        "(e2e.py:195-220), so a detector trained/converted here drops "
+        "straight back onto the Pi pipeline",
+    )
+    p.add_argument(
+        "--emit_dtype", choices=("fp32", "fp16"), default="fp32",
+        help="NCNN weight storage (the reference's shipped bins are fp16)",
+    )
     args = p.parse_args(argv)
+
+    if args.emit == "ncnn" and (
+        args.arch in CLASSIFIER_ARCHS or args.arch == "yolov11n"
+    ):
+        print(
+            "error: --emit ncnn covers the yolo_plus/yolov8n family and "
+            "yolov5n; classifier and v11n (C2PSA attention) graph emission "
+            "is not implemented — use --emit orbax",
+            file=sys.stderr,
+        )
+        return 2
 
     import numpy as np
 
@@ -95,8 +124,16 @@ def main(argv=None) -> int:
         return variant_state_converter(variant)(defuse_state_dict(sd))
 
     # ---- read + convert ------------------------------------------------ #
+    import os as _os
+
     try:
-        if args.input.endswith((".param", ".xml")):
+        if _os.path.isdir(args.input):
+            # an orbax checkpoint (train CLI / earlier convert output) —
+            # the natural source for --emit ncnn re-exports
+            from litepi_tpu.weights.checkpoint import load_checkpoint
+
+            variables = load_checkpoint(args.input)
+        elif args.input.endswith((".param", ".xml")):
             if not is_detector:
                 print(
                     "error: .param/.xml ingestion covers detectors; "
@@ -231,12 +268,73 @@ def main(argv=None) -> int:
         print("error: converted model failed the smoke test", file=sys.stderr)
         return 1
 
+    if args.emit == "ncnn":
+        import os
+
+        from litepi_tpu.weights.ncnn_export import export_detector_ncnn
+        from litepi_tpu.weights.ncnn_import import (
+            parse_ncnn_param,
+            read_ncnn_bin,
+        )
+
+        os.makedirs(args.output, exist_ok=True)
+        param_out = os.path.join(args.output, "model.ncnn.param")
+        bin_out = os.path.join(args.output, "model.ncnn.bin")
+        if variant is not None:
+            from litepi_tpu.weights.ncnn_export import (
+                export_detector_ncnn_variant,
+            )
+
+            export_detector_ncnn_variant(
+                variables, variant, param_out, bin_out,
+                num_classes=args.num_classes, dtype=args.emit_dtype,
+            )
+        else:
+            export_detector_ncnn(
+                variables, cfg, param_out, bin_out, dtype=args.emit_dtype
+            )
+        # deserialization smoke: the emitted pair must parse and re-read
+        # cleanly (build_detector_graph already topology-verified the graph)
+        read_ncnn_bin(parse_ncnn_param(param_out), bin_out)
+        _write_ncnn_metadata(args, cfg)
+        print(
+            f"exported {args.input} ({args.arch}, {args.num_classes} "
+            f"classes) -> {param_out} + .bin ({args.emit_dtype}); "
+            f"smoke sample={np.round(sample, 4).tolist()}"
+        )
+        return 0
+
     save_checkpoint(args.output, variables)
     print(
         f"converted {args.input} ({args.arch}, {args.num_classes} classes) "
         f"-> {args.output}; smoke sample={np.round(sample, 4).tolist()}"
     )
     return 0
+
+
+def _write_ncnn_metadata(args, cfg) -> None:
+    """Sidecar metadata.yaml with the reference export's field set
+    (src/*/convert/model/*/metadata.yaml: stride/task/imgsz/names)."""
+    import datetime
+    import os
+
+    name = cfg.name if cfg is not None else args.arch
+    size = cfg.input_size if cfg is not None else 640
+    names = "\n".join(
+        f"  {i}: class{i}" for i in range(args.num_classes)
+    )
+    with open(os.path.join(args.output, "metadata.yaml"), "w") as f:
+        f.write(
+            f"description: litepi_tpu {name} export of {args.input}\n"
+            "author: litepi_tpu\n"
+            f"date: '{datetime.datetime.now().isoformat()}'\n"
+            "task: detect\n"
+            "stride: 32\n"
+            "batch: 1\n"
+            f"imgsz:\n- {size}\n- {size}\n"
+            f"names:\n{names}\n"
+            "channels: 3\n"
+        )
 
 
 if __name__ == "__main__":

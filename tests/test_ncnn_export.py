@@ -1,0 +1,427 @@
+"""NCNN detector-graph emission tests.
+
+The reference's deployment flow ends in pnnx-exported NCNN pairs
+(src/*/convert_model_detect.ipynb, stripped; artifacts under
+src/*/convert/model/*/); weights/ncnn_export.py rebuilds that flow from
+Flax variables.  Validation is closed-loop:
+
+* the emitted (type, attrs) layer sequence equals the REAL shipped graphs
+  exactly (v1 from real weights, v2 + stock v8n from Flax-initialised
+  variables — covers residual and non-residual C2f emission);
+* export -> re-ingest is bit-identical to ingesting the real artifact;
+* the emitted graph executed by the differential-tested NCNN interpreter
+  matches the Flax model + our decode ops;
+* the convert CLI round-trips --emit ncnn output through the e2e CLI's
+  --detector_param loader.
+"""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/src"
+V1_PARAM = (
+    f"{REF}/vntsr/convert/model/yolo_plus/yolo_plus_ncnn_model/"
+    "model.ncnn.param"
+)
+V1_BIN = os.path.splitext(V1_PARAM)[0] + ".bin"
+V2_PARAM = (
+    f"{REF}/tt100k/convert/model/yolo_plus/yolo_plus_ncnn_model/"
+    "model.ncnn.param"
+)
+V8_PARAM = f"{REF}/tt100k/convert/model/yolo8/yolo8_ncnn_model/model.ncnn.param"
+
+needs_reference = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not present"
+)
+
+
+def _real_v1_state_dict():
+    from litepi_tpu.core.types import YOLO_PLUS_V1
+    from litepi_tpu.weights.ncnn_import import (
+        ncnn_state_dict,
+        parse_ncnn_param,
+        read_ncnn_bin,
+    )
+
+    layers = parse_ncnn_param(V1_PARAM)
+    read_ncnn_bin(layers, V1_BIN)
+    return ncnn_state_dict(layers, YOLO_PLUS_V1), layers
+
+
+def _flax_fused_sd(cfg, seed=0):
+    """Random Flax init -> fused state dict (exercises the fold path)."""
+    import jax
+
+    from litepi_tpu.models.yolo import YoloLitePi
+    from litepi_tpu.weights.ncnn_export import detector_fused_state_dict
+
+    model = YoloLitePi(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(seed),
+        np.zeros((1, 64, 64, 3), np.float32),
+        train=False,
+    )
+    return detector_fused_state_dict(variables, cfg), variables
+
+
+def _assert_sequence_equal(emitted, real):
+    assert len(emitted) == len(real), (
+        f"layer count {len(emitted)} != real {len(real)}"
+    )
+    for i, (e, r) in enumerate(zip(emitted, real)):
+        assert (e.type, e.attrs) == (r.type, r.attrs), (
+            f"layer {i}: emitted {e.type} {e.attrs} != "
+            f"real {r.type} ({r.name}) {r.attrs}"
+        )
+        assert (len(e.bottoms), len(e.tops)) == (
+            len(r.bottoms), len(r.tops)
+        ), f"layer {i} ({e.type}): fan-in/out differs from real graph"
+
+
+@needs_reference
+def test_emitted_v1_structure_matches_real_export():
+    """Strongest artifact-parity statement: the emitted graph is layer-for-
+    layer identical (types, attrs, fan-in/out) to the reference's shipped
+    v1 export — including Split fan-out placement and the decode tail."""
+    from litepi_tpu.core.types import YOLO_PLUS_V1
+    from litepi_tpu.weights.ncnn_export import build_detector_graph
+    from litepi_tpu.weights.ncnn_import import parse_ncnn_param
+
+    sd, real = _real_v1_state_dict()
+    emitted = build_detector_graph(YOLO_PLUS_V1, sd)
+    _assert_sequence_equal(emitted, real)
+
+
+@needs_reference
+def test_emitted_v2_structure_matches_real_export():
+    """v2 (tt100k flagship): its .bin is stripped upstream, so emit from
+    Flax-initialised weights — structure must still match the shipped
+    .param text exactly."""
+    from litepi_tpu.core.types import YOLO_PLUS_V2
+    from litepi_tpu.weights.ncnn_export import build_detector_graph
+    from litepi_tpu.weights.ncnn_import import parse_ncnn_param
+
+    sd, _ = _flax_fused_sd(YOLO_PLUS_V2)
+    emitted = build_detector_graph(YOLO_PLUS_V2, sd)
+    _assert_sequence_equal(emitted, parse_ncnn_param(V2_PARAM))
+
+
+@needs_reference
+def test_emitted_v8n_structure_matches_real_export():
+    """Stock v8n: non-residual neck C2fs — different Split/BinaryOp
+    emission than yolo_plus, checked against the real yolo8 export."""
+    from litepi_tpu.core.types import YOLOV8N
+    from litepi_tpu.weights.ncnn_export import build_detector_graph
+    from litepi_tpu.weights.ncnn_import import parse_ncnn_param
+
+    sd, _ = _flax_fused_sd(YOLOV8N)
+    emitted = build_detector_graph(YOLOV8N, sd)
+    real = parse_ncnn_param(V8_PARAM)
+    _assert_sequence_equal(emitted, real)
+    # the structural difference that matters: backbone-only residual adds
+    n_adds = sum(1 for l in emitted if l.type == "BinaryOp" and l.attrs == {0: 0})
+    backbone_adds = sum(YOLOV8N.depths)
+    decode_adds = 2  # anchor+rb, x1y1+x2y2
+    assert n_adds == backbone_adds + decode_adds
+
+
+@needs_reference
+def test_export_reingest_bit_identical_to_real():
+    """export(ingest(real)) re-ingests bit-identically to ingest(real):
+    the fp32 serialization round-trip is lossless end to end."""
+    import jax
+
+    from litepi_tpu.core.types import YOLO_PLUS_V1
+    from litepi_tpu.weights.ncnn_export import (
+        build_detector_graph,
+        ncnn_bin_bytes,
+        ncnn_param_text,
+    )
+    from litepi_tpu.weights.ncnn_import import convert_detector_ncnn
+
+    sd, _ = _real_v1_state_dict()
+    emitted = build_detector_graph(YOLO_PLUS_V1, sd)
+    text = ncnn_param_text(emitted)
+    blob = ncnn_bin_bytes(emitted, "fp32")
+    v_em, cfg = convert_detector_ncnn(text, blob)
+    v_real, _ = convert_detector_ncnn(V1_PARAM, V1_BIN)
+    assert cfg.name == "yolo_plus_v1"
+    for a, b in zip(
+        jax.tree_util.tree_leaves(v_em), jax.tree_util.tree_leaves(v_real)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_emitted_graph_runs_like_flax_model():
+    """Forward parity: the emitted graph executed by the NCNN interpreter
+    equals YoloLitePi + our decode ops on the same input (small input size
+    keeps the interpreter fast; the graph's reshape/anchor constants adapt
+    through the config)."""
+    import jax
+    import jax.numpy as jnp
+
+    from litepi_tpu.core.types import YOLO_PLUS_V2
+    from litepi_tpu.models.yolo import YoloLitePi
+    from litepi_tpu.ops.anchors import make_anchors
+    from litepi_tpu.ops.dfl import decode_boxes, dfl_decode
+    from litepi_tpu.weights.ncnn_export import (
+        build_detector_graph,
+        detector_fused_state_dict,
+        ncnn_bin_bytes,
+        ncnn_param_text,
+    )
+    from litepi_tpu.weights.ncnn_import import (
+        parse_ncnn_param,
+        read_ncnn_bin,
+        run_ncnn_graph,
+    )
+
+    cfg = dataclasses.replace(YOLO_PLUS_V2, input_size=160)
+    sd, variables = _flax_fused_sd(cfg)
+    emitted = build_detector_graph(cfg, sd)
+    # serialize through the wire format, not just in-memory layers
+    reread = parse_ncnn_param(ncnn_param_text(emitted))
+    read_ncnn_bin(reread, ncnn_bin_bytes(emitted, "fp32"))
+
+    rng = np.random.RandomState(7)
+    img = rng.rand(3, 160, 160).astype(np.float32)
+    out_graph = run_ncnn_graph(reread, img)
+
+    model = YoloLitePi(cfg)
+    out = model.apply(
+        variables, jnp.asarray(img.transpose(1, 2, 0))[None], train=False
+    )
+    pts, strides = make_anchors(cfg.input_size, cfg.strides)
+    dist = dfl_decode(out["reg"], cfg.reg_max)
+    boxes = decode_boxes(
+        dist, jnp.asarray(pts), jnp.asarray(strides), xywh=True
+    )
+    cls = jax.nn.sigmoid(out["cls"].astype(jnp.float32))
+    ours = np.concatenate(
+        [np.asarray(boxes[0]).T, np.asarray(cls[0]).T], axis=0
+    )
+    assert out_graph.shape == ours.shape == (5, cfg.num_anchors)
+    np.testing.assert_allclose(ours[:4], out_graph[:4], atol=2e-3)
+    np.testing.assert_allclose(ours[4:], out_graph[4:], atol=1e-5)
+
+
+def test_fp16_bin_roundtrip():
+    """fp16 storage (the reference's shipped precision): weights re-read
+    within half-precision quantisation, biases exact fp32."""
+    from litepi_tpu.core.types import YOLO_PLUS_V2
+    from litepi_tpu.weights.ncnn_export import (
+        build_detector_graph,
+        ncnn_bin_bytes,
+        ncnn_param_text,
+    )
+    from litepi_tpu.weights.ncnn_import import (
+        parse_ncnn_param,
+        read_ncnn_bin,
+    )
+
+    cfg = dataclasses.replace(YOLO_PLUS_V2, input_size=64)
+    sd, _ = _flax_fused_sd(cfg)
+    emitted = build_detector_graph(cfg, sd)
+    reread = parse_ncnn_param(ncnn_param_text(emitted))
+    read_ncnn_bin(reread, ncnn_bin_bytes(emitted, "fp16"))
+    for src, dst in zip(emitted, reread):
+        if src.type != "Convolution":
+            continue
+        w0 = src.weights["weight"]
+        np.testing.assert_allclose(
+            dst.weights["weight"].reshape(w0.shape),
+            w0.astype(np.float16).astype(np.float32),
+            rtol=0,
+            atol=0,
+        )
+        if "bias" in src.weights:
+            np.testing.assert_array_equal(
+                dst.weights["bias"], src.weights["bias"]
+            )
+
+
+def test_export_rejects_unfoldable_variables():
+    from litepi_tpu.core.types import YOLO_PLUS_V2
+    from litepi_tpu.weights.ncnn_export import detector_fused_state_dict
+
+    sd, variables = _flax_fused_sd(YOLO_PLUS_V2)
+    broken = {"params": variables["params"]}  # bn params, stats dropped
+    with pytest.raises(ValueError, match="fold"):
+        detector_fused_state_dict(broken, YOLO_PLUS_V2)
+
+
+def test_convert_cli_emit_ncnn_roundtrip(tmp_path):
+    """CLI loop: orbax checkpoint -> --emit ncnn pair -> loads back through
+    the ingestion path the e2e CLI uses (convert_detector_ncnn infers the
+    config from the emitted topology)."""
+    import jax
+
+    from litepi_tpu.apps.convert import main as convert_main
+    from litepi_tpu.core.types import YOLO_PLUS_V2
+    from litepi_tpu.weights.checkpoint import save_checkpoint
+    from litepi_tpu.weights.ncnn_import import convert_detector_ncnn
+
+    _, variables = _flax_fused_sd(YOLO_PLUS_V2)
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), variables)
+    out = tmp_path / "export"
+    rc = convert_main(
+        [
+            "--arch", "yolo_plus_v2", "--num_classes", "1",
+            "--input", str(ckpt), "--output", str(out), "--emit", "ncnn",
+        ]
+    )
+    assert rc == 0
+    assert (out / "model.ncnn.param").exists()
+    assert (out / "model.ncnn.bin").exists()
+    assert "stride: 32" in (out / "metadata.yaml").read_text()
+    v2, cfg = convert_detector_ncnn(
+        str(out / "model.ncnn.param"), str(out / "model.ncnn.bin")
+    )
+    assert cfg.name == "yolo_plus_v2"
+    assert all(
+        np.isfinite(np.asarray(leaf)).all()
+        for leaf in jax.tree_util.tree_leaves(v2)
+    )
+
+
+def test_convert_cli_emit_ncnn_rejects_unsupported():
+    from litepi_tpu.apps.convert import main as convert_main
+
+    for arch in ("shufflenetv2", "yolov11n"):
+        rc = convert_main(
+            [
+                "--arch", arch, "--num_classes", "10",
+                "--input", "x.pth", "--output", "/tmp/nope",
+                "--emit", "ncnn",
+            ]
+        )
+        assert rc == 2
+
+
+# --------------------------------------------------------------------------- #
+# yolov5nu baseline-variant emission
+# --------------------------------------------------------------------------- #
+
+
+def _v5u_fused_sd(num_classes=1, seed=0):
+    import jax
+
+    from litepi_tpu.models.yolov5 import YoloV5
+    from litepi_tpu.weights.ncnn_export import yolov5u_fused_state_dict
+
+    model = YoloV5(num_classes=num_classes, anchor_free=True)
+    variables = model.init(
+        jax.random.PRNGKey(seed),
+        np.zeros((1, 64, 64, 3), np.float32),
+        train=False,
+    )
+    return yolov5u_fused_state_dict(variables), variables
+
+
+@needs_reference
+@pytest.mark.parametrize("tree", ["tt100k", "vntsr"])
+def test_emitted_v5u_structure_matches_real_export(tree):
+    """The deployed 'yolo5' baseline (u-variant): emitted graph must be
+    layer-for-layer identical to BOTH trees' shipped exports — covers the
+    C3 emission (input Split, parallel cv1/cv2, e=1.0 bottlenecks), the
+    k=6 p=2 stem, and the two 1x1 neck reduce convs."""
+    from litepi_tpu.weights.ncnn_export import build_variant_graph
+    from litepi_tpu.weights.ncnn_import import parse_ncnn_param
+
+    sd, _ = _v5u_fused_sd()
+    emitted = build_variant_graph("yolov5nu", sd)
+    real = parse_ncnn_param(
+        f"{REF}/{tree}/convert/model/yolo5/yolo5_ncnn_model/model.ncnn.param"
+    )
+    _assert_sequence_equal(emitted, real)
+
+
+def test_emitted_v5u_runs_like_flax_model():
+    """Forward parity: emitted v5u graph through the interpreter equals
+    YoloV5(anchor_free) + our decode at a small input size."""
+    import jax
+    import jax.numpy as jnp
+
+    from litepi_tpu.models.yolov5 import YoloV5
+    from litepi_tpu.ops.anchors import make_anchors
+    from litepi_tpu.ops.dfl import decode_boxes, dfl_decode
+    from litepi_tpu.weights.ncnn_export import (
+        build_variant_graph,
+        ncnn_bin_bytes,
+        ncnn_param_text,
+    )
+    from litepi_tpu.weights.ncnn_import import (
+        parse_ncnn_param,
+        read_ncnn_bin,
+        run_ncnn_graph,
+    )
+
+    size = 160
+    sd, variables = _v5u_fused_sd()
+    emitted = build_variant_graph("yolov5nu", sd, input_size=size)
+    reread = parse_ncnn_param(ncnn_param_text(emitted))
+    read_ncnn_bin(reread, ncnn_bin_bytes(emitted, "fp32"))
+
+    rng = np.random.RandomState(3)
+    img = rng.rand(3, size, size).astype(np.float32)
+    out_graph = run_ncnn_graph(reread, img)
+
+    model = YoloV5(num_classes=1, anchor_free=True)
+    out = model.apply(
+        variables, jnp.asarray(img.transpose(1, 2, 0))[None], train=False
+    )
+    pts, strides = make_anchors(size)
+    dist = dfl_decode(out["reg"], 16)
+    boxes = decode_boxes(
+        dist, jnp.asarray(pts), jnp.asarray(strides), xywh=True
+    )
+    cls = jax.nn.sigmoid(out["cls"].astype(jnp.float32))
+    ours = np.concatenate(
+        [np.asarray(boxes[0]).T, np.asarray(cls[0]).T], axis=0
+    )
+    assert out_graph.shape == ours.shape
+    np.testing.assert_allclose(ours[:4], out_graph[:4], atol=2e-3)
+    np.testing.assert_allclose(ours[4:], out_graph[4:], atol=1e-5)
+
+
+def test_v5u_export_reingest_roundtrip():
+    """export -> convert_detector_ncnn_variant reproduces the source
+    variables bit-exactly (fp32 wire round trip through the SAME loader
+    the e2e CLI uses on the real yolo5 artifacts)."""
+    import jax
+
+    from litepi_tpu.weights.ncnn_export import (
+        build_variant_graph,
+        ncnn_bin_bytes,
+        ncnn_param_text,
+    )
+    from litepi_tpu.weights.ncnn_import import convert_detector_ncnn_variant
+
+    sd, variables = _v5u_fused_sd()
+    emitted = build_variant_graph("yolov5nu", sd)
+    v2 = convert_detector_ncnn_variant(
+        ncnn_param_text(emitted), ncnn_bin_bytes(emitted, "fp32"),
+        "yolov5nu", 1,
+    )
+    # source was train-form (conv+bn); re-ingest is deploy-keyed with
+    # identity BN — compare through the fused forward instead of trees
+    import jax.numpy as jnp
+
+    from litepi_tpu.models.yolov5 import YoloV5
+
+    model = YoloV5(num_classes=1, anchor_free=True)
+    x = jnp.asarray(
+        np.random.RandomState(1).rand(1, 64, 64, 3).astype(np.float32)
+    )
+    o1 = model.apply(variables, x, train=False)
+    o2 = model.apply(v2, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(o1["cls"]), np.asarray(o2["cls"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(o1["reg"]), np.asarray(o2["reg"]), atol=1e-4
+    )
