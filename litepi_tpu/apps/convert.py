@@ -84,13 +84,11 @@ def main(argv=None) -> int:
     )
     args = p.parse_args(argv)
 
-    if args.emit == "ncnn" and (
-        args.arch in CLASSIFIER_ARCHS or args.arch == "yolov11n"
-    ):
+    if args.emit == "ncnn" and args.arch in CLASSIFIER_ARCHS:
         print(
-            "error: --emit ncnn covers the yolo_plus/yolov8n family and "
-            "yolov5n; classifier and v11n (C2PSA attention) graph emission "
-            "is not implemented — use --emit orbax",
+            "error: --emit ncnn covers the detector families "
+            "(yolo_plus/yolov8n/yolov5n/yolov11n); classifier graph "
+            "emission is not implemented — use --emit orbax",
             file=sys.stderr,
         )
         return 2

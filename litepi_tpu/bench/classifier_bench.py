@@ -120,6 +120,61 @@ def evaluate_classifier(
     }
 
 
+def confusion_matrix(
+    preds: np.ndarray, labels: np.ndarray, num_classes: int
+) -> np.ndarray:
+    """(num_classes, num_classes) counts, rows = true class, cols =
+    predicted (reference: evaluation-tsr.ipynb cell 14's confusion
+    analysis)."""
+    cm = np.zeros((num_classes, num_classes), np.int64)
+    np.add.at(cm, (labels.astype(np.int64), preds.astype(np.int64)), 1)
+    return cm
+
+
+def confusion_analysis(
+    preds: np.ndarray,
+    labels: np.ndarray,
+    num_classes: int,
+    top: int = 10,
+    class_names: Optional[Dict[int, str]] = None,
+) -> Dict:
+    """The reference's per-class error report (evaluation-tsr cell 14):
+    most-confused (true -> predicted) pairs and the worst per-class
+    accuracies, for classes present in the labels."""
+    cm = confusion_matrix(preds, labels, num_classes)
+    off = cm.copy()
+    np.fill_diagonal(off, 0)
+    flat = np.argsort(-off, axis=None)
+
+    def name(c: int) -> str:
+        return class_names.get(c, str(c)) if class_names else str(c)
+
+    pairs = []
+    for idx in flat[: top * 4]:
+        t, pcl = divmod(int(idx), num_classes)
+        if off[t, pcl] == 0 or len(pairs) >= top:
+            break
+        pairs.append(
+            {
+                "true": name(t),
+                "pred": name(pcl),
+                "count": int(off[t, pcl]),
+            }
+        )
+    support = cm.sum(axis=1)
+    present = np.nonzero(support)[0]
+    per_class = {
+        name(int(c)): float(cm[c, c] / support[c]) for c in present
+    }
+    worst = sorted(per_class.items(), key=lambda kv: kv[1])[:top]
+    return {
+        "confusion_matrix": cm,
+        "most_confused": pairs,
+        "per_class_accuracy": per_class,
+        "worst_classes": worst,
+    }
+
+
 def predict_topk(
     arch: str,
     variables,

@@ -186,6 +186,47 @@ class _EmitterBase:
             "Interp", "upsample", [x], {0: 1, 1: 2.0, 2: 2.0, 6: 0}
         )
 
+    def _dwconv(
+        self, x: str, path: str, k: int, act: bool = True
+    ) -> str:
+        """ConvolutionDepthWise (groups = channels) — v11's pe / cls-branch
+        DWConvs (yolo11 model.ncnn.param convdw_180-187)."""
+        w = np.ascontiguousarray(
+            self.sd[f"{path}.conv.weight"], dtype=np.float32
+        )
+        bias = self.sd.get(f"{path}.conv.bias")
+        out_c, pad = w.shape[0], k // 2
+        attrs = {
+            0: out_c, 1: k, 11: k, 12: 1, 13: 1, 14: pad,
+            2: 1, 3: 1, 4: pad, 5: int(bias is not None), 6: w.size,
+            7: out_c,
+        }
+        weights = {"weight": w}
+        if bias is not None:
+            weights["bias"] = np.ascontiguousarray(bias, dtype=np.float32)
+        y = self.b.add(
+            "ConvolutionDepthWise", "convdw", [x], attrs, weights
+        )
+        if act:
+            y = self.b.add("Swish", "silu", [y])
+        return y
+
+    def _c3(
+        self, x: str, prefix: str, n: int, residual: bool, k1: int = 1
+    ) -> str:
+        """C3 (v5: 1x1+3x3 bottlenecks) / C3k (v11: 3x3+3x3, ``k1=3``):
+        parallel cv1/cv2 1x1s on the block input, concat, cv3."""
+        cur = self._conv(x, f"{prefix}.cv1", 1)
+        for j in range(n):
+            t = self._conv(cur, f"{prefix}.m.{j}.cv1", k1)
+            t = self._conv(t, f"{prefix}.m.{j}.cv2", 3)
+            if residual:
+                t = self.b.add("BinaryOp", "add", [cur, t], {0: 0})
+            cur = t
+        c2 = self._conv(x, f"{prefix}.cv2", 1)
+        cat = self.b.add("Concat", "cat", [cur, c2], {0: 0})
+        return self._conv(cat, f"{prefix}.cv3", 1)
+
     def _strides_md(
         self, input_size: int, strides: Sequence[int]
     ) -> str:
@@ -198,6 +239,13 @@ class _EmitterBase:
             "MemoryData", "pnnx", [], {0: strides_arr.shape[0]},
             weights={"data": strides_arr.reshape(-1).astype(np.float32)},
         )
+
+    def _cls_branch(self, lvl: str, head: str, i: int) -> str:
+        """Plain 3x3+3x3+1x1 class branch (yolo_plus/v8/v5u); v11
+        overrides with its depthwise-separable form."""
+        cl = self._conv(lvl, f"{head}.cv3.{i}.0", 3)
+        cl = self._conv(cl, f"{head}.cv3.{i}.1", 3)
+        return self._conv(cl, f"{head}.cv3.{i}.2", 1, act=False)
 
     def _head_decode(
         self,
@@ -222,9 +270,7 @@ class _EmitterBase:
             r = self._conv(lvl, f"{head}.cv2.{i}.0", 3)
             r = self._conv(r, f"{head}.cv2.{i}.1", 3)
             r = self._conv(r, f"{head}.cv2.{i}.2", 1, act=False)
-            cl = self._conv(lvl, f"{head}.cv3.{i}.0", 3)
-            cl = self._conv(cl, f"{head}.cv3.{i}.1", 3)
-            cl = self._conv(cl, f"{head}.cv3.{i}.2", 1, act=False)
+            cl = self._cls_branch(lvl, head, i)
             level_outs.append(self.b.add("Concat", "cat", [r, cl], {0: 0}))
 
         no = 4 * reg_max + num_classes
@@ -364,22 +410,6 @@ class _V5uEmitter(_EmitterBase):
         self.num_classes = num_classes
         self.input_size = input_size
 
-    def _c3(
-        self, x: str, prefix: str, n: int, residual: bool
-    ) -> str:
-        # unlike C2f there is no Slice: cv1/cv2 are parallel 1x1s on the
-        # block input, bottlenecks are 1x1+3x3 at full hidden width
-        cur = self._conv(x, f"{prefix}.cv1", 1)
-        for j in range(n):
-            t = self._conv(cur, f"{prefix}.m.{j}.cv1", 1)
-            t = self._conv(t, f"{prefix}.m.{j}.cv2", 3)
-            if residual:
-                t = self.b.add("BinaryOp", "add", [cur, t], {0: 0})
-            cur = t
-        c2 = self._conv(x, f"{prefix}.cv2", 1)
-        cat = self.b.add("Concat", "cat", [cur, c2], {0: 0})
-        return self._conv(cat, f"{prefix}.cv3", 1)
-
     def build(self) -> List[NcnnLayer]:
         d = self.DEPTHS
 
@@ -420,6 +450,139 @@ class _V5uEmitter(_EmitterBase):
         return self.b.finalize()
 
 
+class _V11Emitter(_EmitterBase):
+    """yolov11n (C3k2 body, C2PSA attention, depthwise-separable cls head
+    at model.23 — src/*/convert/model/yolo11/yolo11_ncnn_model/)."""
+
+    DIM = 128  # C2PSA channel width (v11n P5 width // 2)
+
+    def __init__(
+        self,
+        sd: Mapping[str, np.ndarray],
+        num_classes: int = 1,
+        input_size: int = 640,
+    ):
+        super().__init__(sd)
+        self.num_classes = num_classes
+        self.input_size = input_size
+
+    def _c3k2(self, x: str, prefix: str, n: int, c3k: bool) -> str:
+        # C2f-shaped: cv1 -> slice halves -> m chain -> concat -> cv2;
+        # m is a full C3k block (3x3+3x3 bottlenecks) or one half-expansion
+        # residual bottleneck (hidden derived from the cv1 weight)
+        h = self.sd[f"{prefix}.cv1.conv.weight"].shape[0] // 2
+        y = self._conv(x, f"{prefix}.cv1", 1)
+        a, bhalf = self.b.add(
+            "Slice", "split", [y], {0: [h, h], 1: 0}, n_tops=2
+        )
+        parts = [a, bhalf]
+        cur = bhalf
+        for j in range(n):
+            if c3k:
+                t = self._c3(cur, f"{prefix}.m.{j}", 2, True, k1=3)
+            else:
+                t = self._conv(cur, f"{prefix}.m.{j}.cv1", 3)
+                t = self._conv(t, f"{prefix}.m.{j}.cv2", 3)
+                t = self.b.add("BinaryOp", "add", [cur, t], {0: 0})
+            parts.append(t)
+            cur = t
+        cat = self.b.add("Concat", "cat", parts, {0: 0})
+        return self._conv(cat, f"{prefix}.cv2", 1)
+
+    def _attention(self, x: str, prefix: str) -> str:
+        """Ultralytics Attention as pnnx flattens it (yolo11
+        model.ncnn.param:108-120): qkv conv -> (nh, 2*kd+hd, N) reshape ->
+        q/k/v slice -> qT@k -> scale -> softmax -> v@attnT -> spatial
+        reshape + depthwise positional conv -> proj."""
+        dim = self.DIM
+        nh = max(dim // 64, 1)
+        hd = dim // nh
+        kd = hd // 2
+        size = self.input_size // 32
+        N = size * size
+
+        qkv = self._conv(x, f"{prefix}.qkv", 1, act=False)
+        t = self.b.add(
+            "Reshape", "reshape", [qkv], {0: N, 1: 2 * kd + hd, 2: nh}
+        )
+        q, k, v = self.b.add(
+            "Slice", "split", [t], {0: [kd, kd, hd], 1: 1}, n_tops=3
+        )
+        qt = self.b.add("Permute", "transpose", [q], {0: 1})
+        scores = self.b.add("MatMul", "matmul", [qt, k], {})
+        # pnnx prints the folded 1/sqrt(kd) scale at 6 significant digits
+        scale = float(f"{kd ** -0.5:.6g}")
+        scores = self.b.add(
+            "BinaryOp", "mul", [scores], {0: 2, 1: 1, 2: scale}
+        )
+        scores = self.b.add("Softmax", "softmax", [scores], {0: 2, 1: 1})
+        o = self.b.add("MatMul", "matmultransb", [v, scores], {0: 1})
+        o = self.b.add(
+            "Reshape", "reshape", [o], {0: size, 1: size, 2: dim}
+        )
+        pe_in = self.b.add(
+            "Reshape", "reshape", [v], {0: size, 1: size, 2: dim}
+        )
+        pe = self._dwconv(pe_in, f"{prefix}.pe", 3, act=False)
+        o = self.b.add("BinaryOp", "add", [o, pe], {0: 0})
+        return self._conv(o, f"{prefix}.proj", 1, act=False)
+
+    def _c2psa(self, x: str, prefix: str) -> str:
+        dim = self.DIM
+        y = self._conv(x, f"{prefix}.cv1", 1)
+        a, bhalf = self.b.add(
+            "Slice", "split", [y], {0: [dim, dim], 1: 0}, n_tops=2
+        )
+        attn = self._attention(bhalf, f"{prefix}.m.0.attn")
+        t = self.b.add("BinaryOp", "add", [bhalf, attn], {0: 0})
+        ffn = self._conv(t, f"{prefix}.m.0.ffn.0", 1)
+        ffn = self._conv(ffn, f"{prefix}.m.0.ffn.1", 1, act=False)
+        t = self.b.add("BinaryOp", "add", [t, ffn], {0: 0})
+        cat = self.b.add("Concat", "cat", [a, t], {0: 0})
+        return self._conv(cat, f"{prefix}.cv2", 1)
+
+    def _cls_branch(self, lvl: str, head: str, i: int) -> str:
+        cl = self._dwconv(lvl, f"{head}.cv3.{i}.0.0", 3)
+        cl = self._conv(cl, f"{head}.cv3.{i}.0.1", 1)
+        cl = self._dwconv(cl, f"{head}.cv3.{i}.1.0", 3)
+        cl = self._conv(cl, f"{head}.cv3.{i}.1.1", 1)
+        return self._conv(cl, f"{head}.cv3.{i}.2", 1, act=False)
+
+    def build(self) -> List[NcnnLayer]:
+        x = self.b.add("Input", "in", [], tops=["in0"])
+        x = self._conv(x, "model.0", 3, 2)
+        x = self._conv(x, "model.1", 3, 2)
+        x = self._c3k2(x, "model.2", 1, False)
+        x = self._conv(x, "model.3", 3, 2)
+        p3 = self._c3k2(x, "model.4", 1, False)
+        x = self._conv(p3, "model.5", 3, 2)
+        p4 = self._c3k2(x, "model.6", 1, True)
+        x = self._conv(p4, "model.7", 3, 2)
+        x = self._c3k2(x, "model.8", 1, True)
+        x = self._sppf(x)
+        p5 = self._c2psa(x, "model.10")
+
+        up = self._upsample(p5)
+        t4 = self.b.add("Concat", "cat", [up, p4], {0: 0})
+        t4 = self._c3k2(t4, "model.13", 1, False)
+        up = self._upsample(t4)
+        t3 = self.b.add("Concat", "cat", [up, p3], {0: 0})
+        n3 = self._c3k2(t3, "model.16", 1, False)
+        dconv = self._conv(n3, "model.17", 3, 2)
+        b4 = self.b.add("Concat", "cat", [dconv, t4], {0: 0})
+        n4 = self._c3k2(b4, "model.19", 1, False)
+        dconv = self._conv(n4, "model.20", 3, 2)
+        b5 = self.b.add("Concat", "cat", [dconv, p5], {0: 0})
+        n5 = self._c3k2(b5, "model.22", 1, True)
+
+        strides_md = self._strides_md(self.input_size, (8, 16, 32))
+        self._head_decode(
+            (n3, n4, n5), strides_md, "model.23", 16,
+            self.num_classes, self.input_size, (8, 16, 32),
+        )
+        return self.b.finalize()
+
+
 def build_detector_graph(
     cfg: DetectorConfig, sd: Mapping[str, np.ndarray]
 ) -> List[NcnnLayer]:
@@ -446,13 +609,12 @@ def build_variant_graph(
     ingestion side runs on the real yolo5 exports)."""
     from litepi_tpu.weights.ncnn_import import verify_ncnn_variant_topology
 
-    if variant != "yolov5nu":
+    emitters = {"yolov5nu": _V5uEmitter, "yolov11n": _V11Emitter}
+    if variant not in emitters:
         raise ValueError(
-            f"NCNN emission covers 'yolov5nu' of the baseline variants; "
-            f"got {variant!r} (v11's C2PSA attention subgraph is not "
-            "emitted — ingest-only)"
+            f"unknown variant {variant!r}; choices: {sorted(emitters)}"
         )
-    layers = _V5uEmitter(sd, num_classes, input_size).build()
+    layers = emitters[variant](sd, num_classes, input_size).build()
     verify_ncnn_variant_topology(layers, variant, num_classes, input_size)
     return layers
 
@@ -685,6 +847,112 @@ def yolov5u_fused_state_dict(variables: Dict) -> Dict[str, np.ndarray]:
     return sd
 
 
+def yolov11_fused_state_dict(variables: Dict) -> Dict[str, np.ndarray]:
+    """YoloV11 variables -> BN-folded Ultralytics-keyed state dict — the
+    inverse of :func:`litepi_tpu.weights.torch_import.
+    convert_yolov11_state_dict` composed with BN folding.  The attention
+    qkv conv's output channels are re-packed from our branch-major split
+    back to torch's heads-major layout (the inverse permutation of
+    ``_qkv_permutation``)."""
+    from litepi_tpu.weights.fold_bn import fold_detector_pipeline_vars
+    from litepi_tpu.weights.torch_import import _qkv_permutation
+
+    folded, fused = fold_detector_pipeline_vars(variables)
+    if not fused:
+        raise ValueError(
+            "variables carry BatchNorm params without running stats — "
+            "cannot fold to deploy form for export"
+        )
+    p = folded["params"]
+    sd: Dict[str, np.ndarray] = {}
+
+    def put(dst: str, conv_node: Dict, chan_perm=None) -> None:
+        k = np.asarray(conv_node["kernel"], dtype=np.float32)
+        w = np.ascontiguousarray(np.transpose(k, (3, 2, 0, 1)))
+        b = (
+            np.asarray(conv_node["bias"], dtype=np.float32)
+            if "bias" in conv_node else None
+        )
+        if chan_perm is not None:
+            w = w[chan_perm]
+            if b is not None:
+                b = b[chan_perm]
+        sd[f"{dst}.weight"] = w
+        if b is not None:
+            sd[f"{dst}.bias"] = b
+
+    def conv_bn(dst: str, *path, chan_perm=None) -> None:
+        n = p
+        for k in path:
+            n = n[k]
+        put(f"{dst}.conv", n["conv"], chan_perm)
+
+    def c3k2(dst: str, flax: str, n: int, c3k: bool) -> None:
+        conv_bn(f"{dst}.cv1", flax, "cv1")
+        conv_bn(f"{dst}.cv2", flax, "cv2")
+        for i in range(n):
+            if c3k:
+                conv_bn(f"{dst}.m.{i}.cv1", flax, f"m{i}", "cv1")
+                conv_bn(f"{dst}.m.{i}.cv2", flax, f"m{i}", "cv2")
+                conv_bn(f"{dst}.m.{i}.cv3", flax, f"m{i}", "cv3")
+                for j in range(2):
+                    conv_bn(
+                        f"{dst}.m.{i}.m.{j}.cv1", flax, f"m{i}", f"m{j}", "cv1"
+                    )
+                    conv_bn(
+                        f"{dst}.m.{i}.m.{j}.cv2", flax, f"m{i}", f"m{j}", "cv2"
+                    )
+            else:
+                conv_bn(f"{dst}.m.{i}.cv1", flax, f"m{i}", "cv1")
+                conv_bn(f"{dst}.m.{i}.cv2", flax, f"m{i}", "cv2")
+
+    conv_bn("model.0", "stem")
+    conv_bn("model.1", "down1")
+    c3k2("model.2", "c3k2_1", 1, False)
+    conv_bn("model.3", "down2")
+    c3k2("model.4", "c3k2_2", 1, False)
+    conv_bn("model.5", "down3")
+    c3k2("model.6", "c3k2_3", 1, True)
+    conv_bn("model.7", "down4")
+    c3k2("model.8", "c3k2_4", 1, True)
+    conv_bn("model.9.cv1", "sppf", "cv1")
+    conv_bn("model.9.cv2", "sppf", "cv2")
+
+    conv_bn("model.10.cv1", "c2psa", "cv1")
+    dim = np.asarray(
+        p["c2psa"]["m0"]["attn"]["proj"]["conv"]["kernel"]
+    ).shape[-1]
+    nh = max(dim // 64, 1)
+    head_dim = dim // nh
+    perm = _qkv_permutation(nh, head_dim // 2, head_dim)
+    inv = np.argsort(perm)
+    conv_bn(
+        "model.10.m.0.attn.qkv", "c2psa", "m0", "attn", "qkv", chan_perm=inv
+    )
+    conv_bn("model.10.m.0.attn.pe", "c2psa", "m0", "attn", "pe")
+    conv_bn("model.10.m.0.attn.proj", "c2psa", "m0", "attn", "proj")
+    conv_bn("model.10.m.0.ffn.0", "c2psa", "m0", "ffn1")
+    conv_bn("model.10.m.0.ffn.1", "c2psa", "m0", "ffn2")
+    conv_bn("model.10.cv2", "c2psa", "cv2")
+
+    c3k2("model.13", "td_p4", 1, False)
+    c3k2("model.16", "td_p3", 1, False)
+    conv_bn("model.17", "bu_down3")
+    c3k2("model.19", "bu_p4", 1, False)
+    conv_bn("model.20", "bu_down4")
+    c3k2("model.22", "bu_p5", 1, True)
+    for i in range(3):
+        conv_bn(f"model.23.cv2.{i}.0", f"reg{i}_cv1")
+        conv_bn(f"model.23.cv2.{i}.1", f"reg{i}_cv2")
+        put(f"model.23.cv2.{i}.2", p[f"reg{i}_out"])
+        conv_bn(f"model.23.cv3.{i}.0.0", f"cls{i}_dw1")
+        conv_bn(f"model.23.cv3.{i}.0.1", f"cls{i}_pw1")
+        conv_bn(f"model.23.cv3.{i}.1.0", f"cls{i}_dw2")
+        conv_bn(f"model.23.cv3.{i}.1.1", f"cls{i}_pw2")
+        put(f"model.23.cv3.{i}.2", p[f"cls{i}_out"])
+    return sd
+
+
 # --------------------------------------------------------------------------- #
 # public entry point
 # --------------------------------------------------------------------------- #
@@ -721,9 +989,17 @@ def export_detector_ncnn_variant(
     input_size: int = 640,
 ) -> List[NcnnLayer]:
     """Baseline-variant sibling of :func:`export_detector_ncnn` — emits
-    the yolov5nu graph (the deployed 'yolo5' baseline's exact structure)
-    from YoloV5(anchor_free=True) variables."""
-    sd = yolov5u_fused_state_dict(variables)
+    the yolov5nu / yolov11n graphs (the deployed baselines' exact
+    structures) from YoloV5(anchor_free=True) / YoloV11 variables."""
+    builders = {
+        "yolov5nu": yolov5u_fused_state_dict,
+        "yolov11n": yolov11_fused_state_dict,
+    }
+    if variant not in builders:
+        raise ValueError(
+            f"unknown variant {variant!r}; choices: {sorted(builders)}"
+        )
+    sd = builders[variant](variables)
     layers = build_variant_graph(variant, sd, num_classes, input_size)
     _write_pair(layers, param_path, bin_path, dtype)
     return layers

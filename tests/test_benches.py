@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 from litepi_tpu.bench.classifier_bench import (
+    confusion_analysis,
     count_params,
     evaluate_classifier,
     macro_prf1,
@@ -103,6 +104,27 @@ def test_macro_prf1_skips_absent_classes():
     preds = np.array([0, 1])
     p, r, _ = macro_prf1(preds, labels, 5)
     assert r == pytest.approx(0.5, abs=1e-6)  # only class 0 counted
+
+
+def test_confusion_analysis():
+    """evaluation-tsr cell 14 semantics: top confused pairs by count,
+    per-class accuracy over classes present in the labels only."""
+    labels = np.array([0, 0, 0, 1, 1, 2, 2, 2, 2])
+    preds = np.array([0, 2, 2, 1, 0, 2, 2, 2, 1])
+    rep = confusion_analysis(preds, labels, num_classes=4, top=2)
+    assert rep["confusion_matrix"][0, 2] == 2
+    assert rep["most_confused"][0] == {"true": "0", "pred": "2", "count": 2}
+    assert len(rep["most_confused"]) == 2
+    assert rep["per_class_accuracy"]["2"] == pytest.approx(0.75)
+    assert "3" not in rep["per_class_accuracy"]  # absent class skipped
+    assert rep["worst_classes"][0][0] == "0"  # 1/3 correct is worst
+
+
+def test_confusion_analysis_perfect_has_no_pairs():
+    labels = np.array([0, 1, 2])
+    rep = confusion_analysis(labels.copy(), labels, num_classes=3)
+    assert rep["most_confused"] == []
+    assert all(v == 1.0 for v in rep["per_class_accuracy"].values())
 
 
 @pytest.fixture(scope="module")

@@ -291,15 +291,13 @@ def test_convert_cli_emit_ncnn_roundtrip(tmp_path):
 def test_convert_cli_emit_ncnn_rejects_unsupported():
     from litepi_tpu.apps.convert import main as convert_main
 
-    for arch in ("shufflenetv2", "yolov11n"):
-        rc = convert_main(
-            [
-                "--arch", arch, "--num_classes", "10",
-                "--input", "x.pth", "--output", "/tmp/nope",
-                "--emit", "ncnn",
-            ]
-        )
-        assert rc == 2
+    rc = convert_main(
+        [
+            "--arch", "shufflenetv2", "--num_classes", "10",
+            "--input", "x.pth", "--output", "/tmp/nope", "--emit", "ncnn",
+        ]
+    )
+    assert rc == 2
 
 
 # --------------------------------------------------------------------------- #
@@ -386,6 +384,130 @@ def test_emitted_v5u_runs_like_flax_model():
     assert out_graph.shape == ours.shape
     np.testing.assert_allclose(ours[:4], out_graph[:4], atol=2e-3)
     np.testing.assert_allclose(ours[4:], out_graph[4:], atol=1e-5)
+
+
+# --------------------------------------------------------------------------- #
+# yolov11n baseline-variant emission
+# --------------------------------------------------------------------------- #
+
+
+def _v11_fused_sd(num_classes=1, seed=0):
+    import jax
+
+    from litepi_tpu.models.yolov11 import YoloV11
+    from litepi_tpu.weights.ncnn_export import yolov11_fused_state_dict
+
+    model = YoloV11(num_classes=num_classes)
+    variables = model.init(
+        jax.random.PRNGKey(seed),
+        np.zeros((1, 64, 64, 3), np.float32),
+        train=False,
+    )
+    return yolov11_fused_state_dict(variables), variables
+
+
+@needs_reference
+@pytest.mark.parametrize("tree", ["tt100k", "vntsr"])
+def test_emitted_v11_structure_matches_real_export(tree):
+    """v11n: emitted graph layer-for-layer identical to both shipped
+    exports — covers C3k2/C3k emission, the flattened C2PSA attention
+    (qkv reshape/slice, scaled MatMul chain, depthwise positional conv)
+    and the depthwise-separable cls head."""
+    from litepi_tpu.weights.ncnn_export import build_variant_graph
+    from litepi_tpu.weights.ncnn_import import parse_ncnn_param
+
+    sd, _ = _v11_fused_sd()
+    emitted = build_variant_graph("yolov11n", sd)
+    real = parse_ncnn_param(
+        f"{REF}/{tree}/convert/model/yolo11/yolo11_ncnn_model/"
+        "model.ncnn.param"
+    )
+    _assert_sequence_equal(emitted, real)
+
+
+def test_emitted_v11_runs_like_flax_model():
+    """Forward parity: emitted v11 graph (incl. the attention subgraph and
+    the heads-major qkv re-packing) through the interpreter equals YoloV11
+    + our decode at a small input size."""
+    import jax
+    import jax.numpy as jnp
+
+    from litepi_tpu.models.yolov11 import YoloV11
+    from litepi_tpu.ops.anchors import make_anchors
+    from litepi_tpu.ops.dfl import decode_boxes, dfl_decode
+    from litepi_tpu.weights.ncnn_export import (
+        build_variant_graph,
+        ncnn_bin_bytes,
+        ncnn_param_text,
+    )
+    from litepi_tpu.weights.ncnn_import import (
+        parse_ncnn_param,
+        read_ncnn_bin,
+        run_ncnn_graph,
+    )
+
+    size = 160
+    sd, variables = _v11_fused_sd()
+    emitted = build_variant_graph("yolov11n", sd, input_size=size)
+    reread = parse_ncnn_param(ncnn_param_text(emitted))
+    read_ncnn_bin(reread, ncnn_bin_bytes(emitted, "fp32"))
+
+    rng = np.random.RandomState(5)
+    img = rng.rand(3, size, size).astype(np.float32)
+    out_graph = run_ncnn_graph(reread, img)
+
+    model = YoloV11(num_classes=1)
+    out = model.apply(
+        variables, jnp.asarray(img.transpose(1, 2, 0))[None], train=False
+    )
+    pts, strides = make_anchors(size)
+    dist = dfl_decode(out["reg"], 16)
+    boxes = decode_boxes(
+        dist, jnp.asarray(pts), jnp.asarray(strides), xywh=True
+    )
+    cls = jax.nn.sigmoid(out["cls"].astype(jnp.float32))
+    ours = np.concatenate(
+        [np.asarray(boxes[0]).T, np.asarray(cls[0]).T], axis=0
+    )
+    assert out_graph.shape == ours.shape
+    # the graph's folded 6-sig-digit attention scale (pnnx parity) vs our
+    # exact 1/sqrt(kd) bounds box agreement at ~1e-3 px
+    np.testing.assert_allclose(ours[:4], out_graph[:4], atol=5e-3)
+    np.testing.assert_allclose(ours[4:], out_graph[4:], atol=1e-4)
+
+
+def test_v11_export_reingest_roundtrip():
+    """export -> convert_detector_ncnn_variant -> forward parity: the qkv
+    permutation inverse must compose with ingestion's permutation to the
+    identity."""
+    import jax.numpy as jnp
+
+    from litepi_tpu.models.yolov11 import YoloV11
+    from litepi_tpu.weights.ncnn_export import (
+        build_variant_graph,
+        ncnn_bin_bytes,
+        ncnn_param_text,
+    )
+    from litepi_tpu.weights.ncnn_import import convert_detector_ncnn_variant
+
+    sd, variables = _v11_fused_sd()
+    emitted = build_variant_graph("yolov11n", sd)
+    v2 = convert_detector_ncnn_variant(
+        ncnn_param_text(emitted), ncnn_bin_bytes(emitted, "fp32"),
+        "yolov11n", 1,
+    )
+    model = YoloV11(num_classes=1)
+    x = jnp.asarray(
+        np.random.RandomState(2).rand(1, 64, 64, 3).astype(np.float32)
+    )
+    o1 = model.apply(variables, x, train=False)
+    o2 = model.apply(v2, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(o1["cls"]), np.asarray(o2["cls"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(o1["reg"]), np.asarray(o2["reg"]), atol=1e-4
+    )
 
 
 def test_v5u_export_reingest_roundtrip():
