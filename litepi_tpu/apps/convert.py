@@ -84,11 +84,14 @@ def main(argv=None) -> int:
     )
     args = p.parse_args(argv)
 
-    if args.emit == "ncnn" and args.arch in CLASSIFIER_ARCHS:
+    if args.emit == "ncnn" and args.arch in CLASSIFIER_ARCHS and (
+        args.arch != "shufflenetv2"
+    ):
         print(
             "error: --emit ncnn covers the detector families "
-            "(yolo_plus/yolov8n/yolov5n/yolov11n); classifier graph "
-            "emission is not implemented — use --emit orbax",
+            "(yolo_plus/yolov8n/yolov5n/yolov11n) and shufflenetv2 (the "
+            "deployed classifier); other classifier graph emission is not "
+            "implemented — use --emit orbax",
             file=sys.stderr,
         )
         return 2
@@ -278,7 +281,14 @@ def main(argv=None) -> int:
         os.makedirs(args.output, exist_ok=True)
         param_out = os.path.join(args.output, "model.ncnn.param")
         bin_out = os.path.join(args.output, "model.ncnn.bin")
-        if variant is not None:
+        if not is_detector:
+            from litepi_tpu.weights.ncnn_export import export_classifier_ncnn
+
+            export_classifier_ncnn(
+                args.arch, variables, args.num_classes, param_out, bin_out,
+                dtype=args.emit_dtype,
+            )
+        elif variant is not None:
             from litepi_tpu.weights.ncnn_export import (
                 export_detector_ncnn_variant,
             )
@@ -316,8 +326,13 @@ def _write_ncnn_metadata(args, cfg) -> None:
     import datetime
     import os
 
+    is_detector = args.arch not in CLASSIFIER_ARCHS
     name = cfg.name if cfg is not None else args.arch
-    size = cfg.input_size if cfg is not None else 640
+    if cfg is not None:
+        size = cfg.input_size
+    else:
+        size = 640 if is_detector else args.input_size
+    task = "detect" if is_detector else "classify"
     names = "\n".join(
         f"  {i}: class{i}" for i in range(args.num_classes)
     )
@@ -326,9 +341,9 @@ def _write_ncnn_metadata(args, cfg) -> None:
             f"description: litepi_tpu {name} export of {args.input}\n"
             "author: litepi_tpu\n"
             f"date: '{datetime.datetime.now().isoformat()}'\n"
-            "task: detect\n"
-            "stride: 32\n"
-            "batch: 1\n"
+            f"task: {task}\n"
+            + ("stride: 32\n" if is_detector else "")
+            + "batch: 1\n"
             f"imgsz:\n- {size}\n- {size}\n"
             f"names:\n{names}\n"
             "channels: 3\n"

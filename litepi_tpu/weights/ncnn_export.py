@@ -148,6 +148,7 @@ class _EmitterBase:
     def _conv(
         self, x: str, path: str, k: int, stride: int = 1,
         act: bool = True, pad: Optional[int] = None,
+        act_op: str = "Swish",
     ) -> str:
         # ConvBN blocks key as '<path>.conv.weight' (the layout
         # ncnn_state_dict produces on ingestion); head output convs are bare
@@ -169,7 +170,9 @@ class _EmitterBase:
             weights,
         )
         if act:
-            y = self.b.add("Swish", "silu", [y])
+            y = self.b.add(
+                act_op, "silu" if act_op == "Swish" else act_op.lower(), [y]
+            )
         return y
 
     def _sppf(self, x: str) -> str:
@@ -187,18 +190,20 @@ class _EmitterBase:
         )
 
     def _dwconv(
-        self, x: str, path: str, k: int, act: bool = True
+        self, x: str, path: str, k: int, act: bool = True, stride: int = 1
     ) -> str:
         """ConvolutionDepthWise (groups = channels) — v11's pe / cls-branch
-        DWConvs (yolo11 model.ncnn.param convdw_180-187)."""
+        DWConvs (yolo11 model.ncnn.param convdw_180-187) and the
+        ShuffleNetV2 branch convs."""
+        stem = path if f"{path}.weight" in self.sd else f"{path}.conv"
         w = np.ascontiguousarray(
-            self.sd[f"{path}.conv.weight"], dtype=np.float32
+            self.sd[f"{stem}.weight"], dtype=np.float32
         )
-        bias = self.sd.get(f"{path}.conv.bias")
+        bias = self.sd.get(f"{stem}.bias")
         out_c, pad = w.shape[0], k // 2
         attrs = {
-            0: out_c, 1: k, 11: k, 12: 1, 13: 1, 14: pad,
-            2: 1, 3: 1, 4: pad, 5: int(bias is not None), 6: w.size,
+            0: out_c, 1: k, 11: k, 12: 1, 13: stride, 14: pad,
+            2: 1, 3: stride, 4: pad, 5: int(bias is not None), 6: w.size,
             7: out_c,
         }
         weights = {"weight": w}
@@ -583,6 +588,80 @@ class _V11Emitter(_EmitterBase):
         return self.b.finalize()
 
 
+class _ShuffleNetV2Emitter(_EmitterBase):
+    """ShuffleNetV2 x1.0 — the reference's chosen classifier, which its
+    convert-model-classify.ipynb exports to NCNN via pnnx (cell 8,
+    ``inputshape=[1,3,64,64]``).  No classifier artifact survives the
+    upstream blob strip, so the emitted structure is validated by forward
+    parity through the graph interpreter instead of a shipped-file diff.
+
+    ``sd`` is keyed torchvision-style (``conv1.0.weight`` …), the fused
+    layout :func:`shufflenetv2_fused_state_dict` produces.
+    """
+
+    def __init__(
+        self,
+        sd: Mapping[str, np.ndarray],
+        num_classes: int,
+        stage_repeats=(4, 8, 4),
+    ):
+        super().__init__(sd)
+        self.num_classes = num_classes
+        self.stage_repeats = stage_repeats
+
+    def _unit(self, x: str, prefix: str, stride: int) -> str:
+        def branch2(inp: str) -> str:
+            y = self._conv(inp, f"{prefix}.branch2.0", 1, act_op="ReLU")
+            y = self._dwconv(
+                y, f"{prefix}.branch2.3", 3, act=False, stride=stride
+            )
+            return self._conv(y, f"{prefix}.branch2.5", 1, act_op="ReLU")
+
+        if stride == 1:
+            c_half = self.sd[f"{prefix}.branch2.0.weight"].shape[1]
+            a, bhalf = self.b.add(
+                "Slice", "split", [x], {0: [c_half, c_half], 1: 0},
+                n_tops=2,
+            )
+            out = self.b.add(
+                "Concat", "cat", [a, branch2(bhalf)], {0: 0}
+            )
+        else:
+            b1 = self._dwconv(
+                x, f"{prefix}.branch1.0", 3, act=False, stride=2
+            )
+            b1 = self._conv(b1, f"{prefix}.branch1.2", 1, act_op="ReLU")
+            out = self.b.add("Concat", "cat", [b1, branch2(x)], {0: 0})
+        return self.b.add("ShuffleChannel", "shufflechannel", [out], {0: 2})
+
+    def build(self) -> List[NcnnLayer]:
+        x = self.b.add("Input", "in", [], tops=["in0"])
+        x = self._conv(x, "conv1.0", 3, 2, act_op="ReLU")
+        x = self.b.add(
+            "Pooling", "maxpool2d", [x],
+            {0: 0, 1: 3, 11: 3, 12: 2, 13: 1, 2: 2, 3: 1, 5: 1},
+        )
+        for s, reps in zip((2, 3, 4), self.stage_repeats):
+            x = self._unit(x, f"stage{s}.0", 2)
+            for i in range(1, reps):
+                x = self._unit(x, f"stage{s}.{i}", 1)
+        x = self._conv(x, "conv5.0", 1, act_op="ReLU")
+        x = self.b.add("Pooling", "gap", [x], {0: 1, 4: 1})
+        w = np.ascontiguousarray(self.sd["fc.weight"], dtype=np.float32)
+        self.b.add(
+            "InnerProduct", "linear", [x],
+            {0: self.num_classes, 1: 1, 2: w.size},
+            {
+                "weight": w,
+                "bias": np.ascontiguousarray(
+                    self.sd["fc.bias"], dtype=np.float32
+                ),
+            },
+            tops=["out0"],
+        )
+        return self.b.finalize()
+
+
 def build_detector_graph(
     cfg: DetectorConfig, sd: Mapping[str, np.ndarray]
 ) -> List[NcnnLayer]:
@@ -669,7 +748,9 @@ def ncnn_bin_bytes(
         raise ValueError(f"dtype must be fp32|fp16, got {dtype!r}")
     buf = bytearray()
     for layer in layers:
-        if layer.type in ("Convolution", "ConvolutionDepthWise"):
+        if layer.type in (
+            "Convolution", "ConvolutionDepthWise", "InnerProduct"
+        ):
             w = np.ascontiguousarray(
                 layer.weights["weight"], dtype=np.float32
             )
@@ -681,7 +762,9 @@ def ncnn_bin_bytes(
             else:
                 buf += np.asarray([0], dtype="<u4").tobytes()
                 buf += w.astype("<f4").tobytes()
-            if int(layer.attr(5, 0)):
+            # bias_term is attr 5 for convs, attr 1 for InnerProduct
+            bias_key = 1 if layer.type == "InnerProduct" else 5
+            if int(layer.attr(bias_key, 0)):
                 buf += np.ascontiguousarray(
                     layer.weights["bias"], dtype="<f4"
                 ).tobytes()
@@ -951,6 +1034,76 @@ def yolov11_fused_state_dict(variables: Dict) -> Dict[str, np.ndarray]:
         conv_bn(f"model.23.cv3.{i}.1.1", f"cls{i}_pw2")
         put(f"model.23.cv3.{i}.2", p[f"cls{i}_out"])
     return sd
+
+
+def shufflenetv2_fused_state_dict(
+    variables: Dict, stage_repeats=(4, 8, 4)
+) -> Dict[str, np.ndarray]:
+    """ShuffleNetV2 variables -> BN-folded torchvision-keyed state dict —
+    the inverse of ``torch_import._convert_shufflenetv2`` composed with BN
+    folding (classifier ConvBN eps is 1e-5, not the detector's 1e-3)."""
+    from litepi_tpu.weights.fold_bn import fold_pipeline_vars
+
+    folded, fused = fold_pipeline_vars(variables, eps=1e-5)
+    if not fused:
+        raise ValueError(
+            "variables carry BatchNorm params without running stats — "
+            "cannot fold to deploy form for export"
+        )
+    p = folded["params"]
+    sd: Dict[str, np.ndarray] = {}
+
+    def put(dst: str, conv_node: Dict) -> None:
+        k = np.asarray(conv_node["kernel"], dtype=np.float32)
+        sd[f"{dst}.weight"] = np.ascontiguousarray(
+            np.transpose(k, (3, 2, 0, 1))
+        )
+        if "bias" in conv_node:
+            sd[f"{dst}.bias"] = np.asarray(
+                conv_node["bias"], dtype=np.float32
+            )
+
+    put("conv1.0", p["conv1"]["conv"])
+    for s, reps in zip((2, 3, 4), stage_repeats):
+        for i in range(reps):
+            f = p[f"stage{s}_{i}"]
+            t = f"stage{s}.{i}"
+            if i == 0:
+                put(f"{t}.branch1.0", f["b1_dw"]["conv"])
+                put(f"{t}.branch1.2", f["b1_pw"]["conv"])
+            put(f"{t}.branch2.0", f["b2_pw1"]["conv"])
+            put(f"{t}.branch2.3", f["b2_dw"]["conv"])
+            put(f"{t}.branch2.5", f["b2_pw2"]["conv"])
+    put("conv5.0", p["conv5"]["conv"])
+    fc = p["fc"]
+    sd["fc.weight"] = np.ascontiguousarray(
+        np.asarray(fc["kernel"], dtype=np.float32).T
+    )
+    sd["fc.bias"] = np.asarray(fc["bias"], dtype=np.float32)
+    return sd
+
+
+def export_classifier_ncnn(
+    arch: str,
+    variables: Dict,
+    num_classes: int,
+    param_path: str,
+    bin_path: str,
+    dtype: str = "fp32",
+) -> List[NcnnLayer]:
+    """Classifier sibling of :func:`export_detector_ncnn` — rebuilds the
+    reference's pnnx classifier export (convert-model-classify.ipynb cell
+    8).  ShuffleNetV2 (the deployed choice) is emitted; the other three
+    archs remain orbax/StableHLO-only."""
+    if arch != "shufflenetv2":
+        raise ValueError(
+            f"NCNN classifier emission covers 'shufflenetv2' (the deployed "
+            f"choice); got {arch!r}"
+        )
+    sd = shufflenetv2_fused_state_dict(variables)
+    layers = _ShuffleNetV2Emitter(sd, num_classes).build()
+    _write_pair(layers, param_path, bin_path, dtype)
+    return layers
 
 
 # --------------------------------------------------------------------------- #

@@ -162,6 +162,13 @@ def read_ncnn_bin(
             layer.weights["weight"] = w.reshape(out_c, in_c, kh, kw)
             if int(layer.attr(5, 0)):
                 layer.weights["bias"] = r.read_raw_fp32(out_c)
+        elif layer.type == "InnerProduct":
+            out_c = int(layer.attr(0))
+            wsize = int(layer.attr(2, 0))
+            w = r.read_tagged(wsize)
+            layer.weights["weight"] = w.reshape(out_c, wsize // out_c)
+            if int(layer.attr(1, 0)):
+                layer.weights["bias"] = r.read_raw_fp32(out_c)
         elif layer.type == "MemoryData":
             w = int(layer.attr(0, 0)) or 1
             h = int(layer.attr(1, 0))
@@ -683,7 +690,10 @@ def run_ncnn_graph(
 ):
     """Execute the graph on one (3, H, W) float input, returning ``out0``.
 
-    Implements exactly the ops the yolo_plus exports use, with NCNN blob
+    Implements exactly the ops the yolo_plus/v5u/v11 detector exports and
+    the ShuffleNetV2 classifier emission use (conv/dwconv/swish/relu/
+    slice/concat/binaryop/pool incl. global/interp/reshape/permute/
+    softmax/sigmoid/matmul/shufflechannel/innerproduct), with NCNN blob
     conventions (3D = (c, h, w), 2D = (h, w), 1D = (w,), no batch dim).
     Convolutions run through XLA for speed; everything else is numpy.
     This is the differential-test oracle standing in for the NCNN runtime
@@ -789,8 +799,21 @@ def run_ncnn_graph(
             blobs[layer.tops[0]] = fn(a, b)
         elif t == "Pooling":
             (x,) = ins
-            if int(layer.attr(0, 0)) != 0:
-                raise ValueError(f"{layer.name}: only max pooling supported")
+            ptype = int(layer.attr(0, 0))
+            if ptype not in (0, 1):
+                raise ValueError(
+                    f"{layer.name}: Pooling type {ptype} unsupported"
+                )
+            if int(layer.attr(4, 0)):  # global: reduce the full map
+                blobs[layer.tops[0]] = (
+                    x.max(axis=(1, 2)) if ptype == 0 else x.mean(axis=(1, 2))
+                )
+                out_name = layer.tops[0]
+                continue
+            if ptype != 0:
+                raise ValueError(
+                    f"{layer.name}: windowed avg pooling unsupported"
+                )
             kw, kh = int(layer.attr(1, 1)), int(layer.attr(11, layer.attr(1, 1)))
             sw, sh = int(layer.attr(2, 1)), int(layer.attr(12, layer.attr(2, 1)))
             pl = int(layer.attr(3, 0))
@@ -807,10 +830,6 @@ def run_ncnn_graph(
                     f"{layer.name}: Pooling pad-mode {mode} unsupported "
                     "(only 1 = valid/floor)"
                 )
-            if int(layer.attr(4, 0)):
-                raise ValueError(
-                    f"{layer.name}: global pooling unsupported"
-                )
             xp = np.pad(
                 x,
                 ((0, 0), (pt, pb), (pl, pr)),
@@ -823,6 +842,25 @@ def run_ncnn_graph(
                 xp, (kh, kw), axis=(1, 2)
             )[:, ::sh, ::sw]
             blobs[layer.tops[0]] = view.max(axis=(-2, -1))[:, :oh, :ow]
+        elif t == "ReLU":
+            (x,) = ins
+            blobs[layer.tops[0]] = np.maximum(x, 0.0)
+        elif t == "ShuffleChannel":
+            (x,) = ins
+            g = int(layer.attr(0, 1))
+            c = x.shape[0]
+            blobs[layer.tops[0]] = np.ascontiguousarray(
+                x.reshape(g, c // g, *x.shape[1:])
+                .swapaxes(0, 1)
+                .reshape(x.shape)
+            )
+        elif t == "InnerProduct":
+            (x,) = ins
+            w = layer.weights["weight"]
+            y = w @ x.reshape(-1)
+            if "bias" in layer.weights:
+                y = y + layer.weights["bias"]
+            blobs[layer.tops[0]] = y
         elif t == "Interp":
             (x,) = ins
             if int(layer.attr(0, 0)) != 1:

@@ -293,11 +293,98 @@ def test_convert_cli_emit_ncnn_rejects_unsupported():
 
     rc = convert_main(
         [
-            "--arch", "shufflenetv2", "--num_classes", "10",
+            "--arch", "resnet18", "--num_classes", "10",
             "--input", "x.pth", "--output", "/tmp/nope", "--emit", "ncnn",
         ]
     )
     assert rc == 2
+
+
+# --------------------------------------------------------------------------- #
+# ShuffleNetV2 classifier emission (convert-model-classify.ipynb cell 8)
+# --------------------------------------------------------------------------- #
+
+
+def test_emitted_shufflenet_runs_like_flax_model():
+    """No classifier artifact survives upstream, so validation is forward
+    parity: the emitted graph (channel split/shuffle, depthwise branches,
+    global-avg pool, InnerProduct) through the interpreter equals the Flax
+    model's logits."""
+    import jax
+    import jax.numpy as jnp
+
+    from litepi_tpu.models import build_classifier
+    from litepi_tpu.weights.ncnn_export import (
+        _ShuffleNetV2Emitter,
+        ncnn_bin_bytes,
+        ncnn_param_text,
+        shufflenetv2_fused_state_dict,
+    )
+    from litepi_tpu.weights.ncnn_import import (
+        parse_ncnn_param,
+        read_ncnn_bin,
+        run_ncnn_graph,
+    )
+
+    model = build_classifier("shufflenetv2", 7)
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32),
+        train=False,
+    )
+    sd = shufflenetv2_fused_state_dict(variables)
+    layers = _ShuffleNetV2Emitter(sd, 7).build()
+    reread = parse_ncnn_param(ncnn_param_text(layers))
+    read_ncnn_bin(reread, ncnn_bin_bytes(layers, "fp32"))
+
+    rng = np.random.RandomState(11)
+    img = rng.rand(3, 64, 64).astype(np.float32)
+    out_graph = run_ncnn_graph(reread, img)
+    ours = np.asarray(
+        model.apply(
+            variables, jnp.asarray(img.transpose(1, 2, 0))[None],
+            train=False,
+        )
+    )[0]
+    assert out_graph.shape == ours.shape == (7,)
+    np.testing.assert_allclose(out_graph, ours, atol=1e-4)
+
+
+def test_export_classifier_rejects_other_archs():
+    from litepi_tpu.weights.ncnn_export import export_classifier_ncnn
+
+    with pytest.raises(ValueError, match="shufflenetv2"):
+        export_classifier_ncnn("resnet18", {}, 10, "/tmp/x", "/tmp/y")
+
+
+def test_convert_cli_emit_ncnn_classifier(tmp_path):
+    """CLI loop: classifier checkpoint -> --emit ncnn pair; metadata says
+    task classify; the pair re-parses and re-reads cleanly (that smoke is
+    in the CLI itself)."""
+    import jax
+
+    from litepi_tpu.apps.convert import main as convert_main
+    from litepi_tpu.models import build_classifier
+    from litepi_tpu.weights.checkpoint import save_checkpoint
+
+    model = build_classifier("shufflenetv2", 5)
+    variables = model.init(
+        jax.random.PRNGKey(1), np.zeros((1, 64, 64, 3), np.float32),
+        train=False,
+    )
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), variables)
+    out = tmp_path / "export"
+    rc = convert_main(
+        [
+            "--arch", "shufflenetv2", "--num_classes", "5",
+            "--input", str(ckpt), "--output", str(out), "--emit", "ncnn",
+        ]
+    )
+    assert rc == 0
+    assert (out / "model.ncnn.param").exists()
+    meta = (out / "metadata.yaml").read_text()
+    assert "task: classify" in meta
+    assert "stride" not in meta
 
 
 # --------------------------------------------------------------------------- #

@@ -358,9 +358,20 @@ def test_interp_pooling_refuses_unsupported():
     # pad-mode 0 = full/ceil (different output-size arithmetic)
     with pytest.raises(ValueError, match="pad-mode"):
         run_ncnn_graph(_pool_graph({0: 0, 1: 3, 5: 0}), x)
-    # global pooling
-    with pytest.raises(ValueError, match="global"):
-        run_ncnn_graph(_pool_graph({0: 0, 1: 3, 5: 1, 4: 1}), x)
+    # windowed AVG pooling (only max windows / global avg are emitted)
+    with pytest.raises(ValueError, match="avg"):
+        run_ncnn_graph(_pool_graph({0: 1, 1: 3, 5: 1}), x)
+
+
+def test_global_pooling():
+    """Global max/avg pooling (the ShuffleNetV2 emission's GAP layer)."""
+    from litepi_tpu.weights.ncnn_import import run_ncnn_graph
+
+    x = np.arange(2 * 3 * 4, dtype=np.float32).reshape(2, 3, 4)
+    out_max = run_ncnn_graph(_pool_graph({0: 0, 4: 1}), x)
+    np.testing.assert_allclose(out_max, x.max(axis=(1, 2)))
+    out_avg = run_ncnn_graph(_pool_graph({0: 1, 4: 1}), x)
+    np.testing.assert_allclose(out_avg, x.mean(axis=(1, 2)))
 
 
 # --------------------------------------------------------------------------- #
