@@ -259,6 +259,10 @@ def main() -> None:
         record["decode_fps_core"] = streaming.get("decode_fps_core")
     if streaming_ram is not None:
         record["streaming_ram_fps"] = round(streaming_ram["fps"], 2)
+        # methodology marker: best-of-3 since round 3c (r01/r02 records
+        # were single-trial); the tunnel's one-sided slow outliers made
+        # single trials unrepresentative of the overlap machinery
+        record["streaming_ram_trials"] = 3
     print(json.dumps(record))
 
 

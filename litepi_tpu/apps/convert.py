@@ -82,6 +82,12 @@ def main(argv=None) -> int:
         "--emit_dtype", choices=("fp32", "fp16"), default="fp32",
         help="NCNN weight storage (the reference's shipped bins are fp16)",
     )
+    p.add_argument(
+        "--emit_input_size", type=int, default=640,
+        help="deployment resolution baked into an emitted detector graph "
+        "(anchor tables, per-level reshapes — the reference deploys at "
+        "640); independent of --input_size, which sizes the smoke test",
+    )
     args = p.parse_args(argv)
 
     if args.emit == "ncnn" and args.arch in CLASSIFIER_ARCHS and (
@@ -230,40 +236,57 @@ def main(argv=None) -> int:
         return 2
 
     # ---- export smoke test --------------------------------------------- #
+    import flax
+
     rng = np.random.default_rng(0)
-    if is_detector:
-        size = max(args.input_size, 64)  # detector stride 32 floor
-        if variant == "yolov5nu":
-            from litepi_tpu.models.yolov5 import YoloV5
+    try:
+        if is_detector:
+            size = max(args.input_size, 64)  # detector stride 32 floor
+            if variant == "yolov5nu":
+                from litepi_tpu.models.yolov5 import YoloV5
 
-            model = YoloV5(num_classes=args.num_classes, anchor_free=True)
-        elif variant == "yolov11n":
-            from litepi_tpu.models.yolov11 import YoloV11
+                model = YoloV5(
+                    num_classes=args.num_classes, anchor_free=True
+                )
+            elif variant == "yolov11n":
+                from litepi_tpu.models.yolov11 import YoloV11
 
-            model = YoloV11(num_classes=args.num_classes)
+                model = YoloV11(num_classes=args.num_classes)
+            else:
+                from litepi_tpu.models import YoloLitePi
+
+                model = YoloLitePi(cfg)  # num_classes already folded in
+            x = rng.uniform(0, 1, (1, size, size, 3)).astype(np.float32)
+            out = model.apply(variables, x, train=False)
+            n_anchors = sum((size // s) ** 2 for s in (8, 16, 32))
+            ok = (
+                out["cls"].shape == (1, n_anchors, args.num_classes)
+                and np.isfinite(np.asarray(out["cls"])).all()
+                and np.isfinite(np.asarray(out["reg"])).all()
+            )
+            sample = np.asarray(out["cls"])[0, :3, 0]
         else:
-            from litepi_tpu.models import YoloLitePi
+            from litepi_tpu.models import build_classifier
 
-            model = YoloLitePi(cfg)  # num_classes already folded in
-        x = rng.uniform(0, 1, (1, size, size, 3)).astype(np.float32)
-        out = model.apply(variables, x, train=False)
-        n_anchors = sum((size // s) ** 2 for s in (8, 16, 32))
-        ok = (
-            out["cls"].shape == (1, n_anchors, args.num_classes)
-            and np.isfinite(np.asarray(out["cls"])).all()
-            and np.isfinite(np.asarray(out["reg"])).all()
+            model = build_classifier(args.arch, args.num_classes)
+            x = rng.uniform(
+                0, 1, (1, args.input_size, args.input_size, 3)
+            ).astype(np.float32)
+            logits = np.asarray(model.apply(variables, x, train=False))
+            ok = (
+                logits.shape == (1, args.num_classes)
+                and np.isfinite(logits).all()
+            )
+            sample = logits[0, :3]
+    # a checkpoint from a different architecture surfaces here (missing /
+    # mis-shaped params in apply) — keep the pointed-error contract
+    except (ValueError, KeyError, TypeError, flax.errors.FlaxError) as e:
+        print(
+            f"error: {args.input}: converted variables do not fit "
+            f"{args.arch!r} ({e})",
+            file=sys.stderr,
         )
-        sample = np.asarray(out["cls"])[0, :3, 0]
-    else:
-        from litepi_tpu.models import build_classifier
-
-        model = build_classifier(args.arch, args.num_classes)
-        x = rng.uniform(0, 1, (1, args.input_size, args.input_size, 3)).astype(
-            np.float32
-        )
-        logits = np.asarray(model.apply(variables, x, train=False))
-        ok = logits.shape == (1, args.num_classes) and np.isfinite(logits).all()
-        sample = logits[0, :3]
+        return 2
 
     if not ok:
         print("error: converted model failed the smoke test", file=sys.stderr)
@@ -281,30 +304,45 @@ def main(argv=None) -> int:
         os.makedirs(args.output, exist_ok=True)
         param_out = os.path.join(args.output, "model.ncnn.param")
         bin_out = os.path.join(args.output, "model.ncnn.bin")
-        if not is_detector:
-            from litepi_tpu.weights.ncnn_export import export_classifier_ncnn
+        try:
+            if not is_detector:
+                from litepi_tpu.weights.ncnn_export import (
+                    export_classifier_ncnn,
+                )
 
-            export_classifier_ncnn(
-                args.arch, variables, args.num_classes, param_out, bin_out,
-                dtype=args.emit_dtype,
-            )
-        elif variant is not None:
-            from litepi_tpu.weights.ncnn_export import (
-                export_detector_ncnn_variant,
-            )
+                export_classifier_ncnn(
+                    args.arch, variables, args.num_classes, param_out,
+                    bin_out, dtype=args.emit_dtype,
+                )
+            elif variant is not None:
+                from litepi_tpu.weights.ncnn_export import (
+                    export_detector_ncnn_variant,
+                )
 
-            export_detector_ncnn_variant(
-                variables, variant, param_out, bin_out,
-                num_classes=args.num_classes, dtype=args.emit_dtype,
-            )
-        else:
-            export_detector_ncnn(
-                variables, cfg, param_out, bin_out, dtype=args.emit_dtype
-            )
+                export_detector_ncnn_variant(
+                    variables, variant, param_out, bin_out,
+                    num_classes=args.num_classes, dtype=args.emit_dtype,
+                    input_size=args.emit_input_size,
+                )
+            else:
+                import dataclasses
+
+                export_detector_ncnn(
+                    variables,
+                    dataclasses.replace(
+                        cfg, input_size=args.emit_input_size
+                    ),
+                    param_out, bin_out, dtype=args.emit_dtype,
+                )
+        # unfoldable BN state / wrong-architecture variables surface here
+        except (ValueError, KeyError) as e:
+            print(f"error: --emit ncnn: {e}", file=sys.stderr)
+            return 2
         # deserialization smoke: the emitted pair must parse and re-read
         # cleanly (build_detector_graph already topology-verified the graph)
         read_ncnn_bin(parse_ncnn_param(param_out), bin_out)
         _write_ncnn_metadata(args, cfg)
+        _write_ncnn_smoke_script(args)
         print(
             f"exported {args.input} ({args.arch}, {args.num_classes} "
             f"classes) -> {param_out} + .bin ({args.emit_dtype}); "
@@ -320,6 +358,48 @@ def main(argv=None) -> int:
     return 0
 
 
+def _write_ncnn_smoke_script(args) -> None:
+    """Sidecar ``model_ncnn.py`` — every pnnx export in the reference
+    ships one (seeded input -> print out0, model_ncnn.py:5-26); this
+    equivalent runs on the deployment box (needs the ``ncnn`` wheel there)
+    so the emitted pair can be smoke-tested where it will serve."""
+    import os
+
+    is_detector = args.arch not in CLASSIFIER_ARCHS
+    size = args.emit_input_size if is_detector else args.input_size
+    script = f'''"""Seeded-input smoke test for this litepi_tpu NCNN export.
+
+Run on the deployment machine (requires the `ncnn` python wheel):
+prints the graph's out0 for a fixed random input, so two boxes (or a
+box and the exporting framework) can compare numbers.
+"""
+
+import numpy as np
+
+import ncnn
+
+
+def test_inference():
+    rng = np.random.default_rng(0)
+    x = rng.random((3, {size}, {size}), dtype=np.float32)
+    with ncnn.Net() as net:
+        net.load_param("model.ncnn.param")
+        net.load_model("model.ncnn.bin")
+        with net.create_extractor() as ex:
+            ex.input("in0", ncnn.Mat(x))
+            _, out0 = ex.extract("out0")
+            out = np.array(out0)
+    print("out0", out.shape, out.reshape(-1)[:8])
+    return out
+
+
+if __name__ == "__main__":
+    test_inference()
+'''
+    with open(os.path.join(args.output, "model_ncnn.py"), "w") as f:
+        f.write(script)
+
+
 def _write_ncnn_metadata(args, cfg) -> None:
     """Sidecar metadata.yaml with the reference export's field set
     (src/*/convert/model/*/metadata.yaml: stride/task/imgsz/names)."""
@@ -328,10 +408,7 @@ def _write_ncnn_metadata(args, cfg) -> None:
 
     is_detector = args.arch not in CLASSIFIER_ARCHS
     name = cfg.name if cfg is not None else args.arch
-    if cfg is not None:
-        size = cfg.input_size
-    else:
-        size = 640 if is_detector else args.input_size
+    size = args.emit_input_size if is_detector else args.input_size
     task = "detect" if is_detector else "classify"
     names = "\n".join(
         f"  {i}: class{i}" for i in range(args.num_classes)

@@ -144,15 +144,15 @@ def confusion_analysis(
     cm = confusion_matrix(preds, labels, num_classes)
     off = cm.copy()
     np.fill_diagonal(off, 0)
-    flat = np.argsort(-off, axis=None)
 
     def name(c: int) -> str:
         return class_names.get(c, str(c)) if class_names else str(c)
 
     pairs = []
-    for idx in flat[: top * 4]:
+    # descending sort: the first zero ends all non-trivial pairs
+    for idx in np.argsort(-off, axis=None)[:top]:
         t, pcl = divmod(int(idx), num_classes)
-        if off[t, pcl] == 0 or len(pairs) >= top:
+        if off[t, pcl] == 0:
             break
         pairs.append(
             {

@@ -36,7 +36,6 @@ from litepi_tpu.core.types import DetectorConfig
 from litepi_tpu.weights.ncnn_import import (
     _TAG_FP16,
     NcnnLayer,
-    ultralytics_conv_plan,
     verify_ncnn_topology,
 )
 
@@ -780,6 +779,39 @@ def ncnn_bin_bytes(
 # --------------------------------------------------------------------------- #
 
 
+def _put_torch_conv(
+    sd: Dict[str, np.ndarray],
+    dst: str,
+    conv_node: Dict,
+    chan_perm: Optional[np.ndarray] = None,
+) -> None:
+    """Write one folded Flax conv node into ``sd`` in torch layout:
+    kernel (kh, kw, I, O) -> ``dst.weight`` (O, I, kh, kw) + optional
+    ``dst.bias``; ``chan_perm`` re-orders output channels (the v11 qkv
+    heads-major re-packing).  Single source for all four fused-state-dict
+    builders."""
+    k = np.asarray(conv_node["kernel"], dtype=np.float32)
+    w = np.ascontiguousarray(np.transpose(k, (3, 2, 0, 1)))
+    b = (
+        np.asarray(conv_node["bias"], dtype=np.float32)
+        if "bias" in conv_node else None
+    )
+    if chan_perm is not None:
+        w = w[chan_perm]
+        if b is not None:
+            b = b[chan_perm]
+    sd[f"{dst}.weight"] = w
+    if b is not None:
+        sd[f"{dst}.bias"] = b
+
+
+def _tree_node(params: Dict, *path):
+    node = params
+    for k in path:
+        node = node[k]
+    return node
+
+
 def detector_fused_state_dict(
     variables: Dict, cfg: DetectorConfig
 ) -> Dict[str, np.ndarray]:
@@ -803,25 +835,12 @@ def detector_fused_state_dict(
     p = folded["params"]
     sd: Dict[str, np.ndarray] = {}
 
-    def node(*path):
-        n = p
-        for k in path:
-            n = n[k]
-        return n
-
     def put(dst: str, conv_node: Dict) -> None:
-        k = np.asarray(conv_node["kernel"], dtype=np.float32)
-        sd[f"{dst}.weight"] = np.ascontiguousarray(
-            np.transpose(k, (3, 2, 0, 1))
-        )
-        if "bias" in conv_node:
-            sd[f"{dst}.bias"] = np.asarray(
-                conv_node["bias"], dtype=np.float32
-            )
+        _put_torch_conv(sd, dst, conv_node)
 
     def conv_bn(dst: str, *path) -> None:
         # '.conv' stem matches the ingestion-side ncnn_state_dict keying
-        put(f"{dst}.conv", node(*path, "conv"))
+        put(f"{dst}.conv", _tree_node(p, *path, "conv"))
 
     def c2f(dst: str, flax: str, scope: tuple, n: int) -> None:
         conv_bn(f"{dst}.cv1", *scope, flax, "cv1")
@@ -855,10 +874,10 @@ def detector_fused_state_dict(
     for i in range(3):
         conv_bn(f"model.22.cv2.{i}.0", "head", f"reg{i}_cv1")
         conv_bn(f"model.22.cv2.{i}.1", "head", f"reg{i}_cv2")
-        put(f"model.22.cv2.{i}.2", node("head", f"reg{i}_out"))
+        put(f"model.22.cv2.{i}.2", _tree_node(p, "head", f"reg{i}_out"))
         conv_bn(f"model.22.cv3.{i}.0", "head", f"cls{i}_cv1")
         conv_bn(f"model.22.cv3.{i}.1", "head", f"cls{i}_cv2")
-        put(f"model.22.cv3.{i}.2", node("head", f"cls{i}_out"))
+        put(f"model.22.cv3.{i}.2", _tree_node(p, "head", f"cls{i}_out"))
     return sd
 
 
@@ -878,20 +897,10 @@ def yolov5u_fused_state_dict(variables: Dict) -> Dict[str, np.ndarray]:
     sd: Dict[str, np.ndarray] = {}
 
     def put(dst: str, conv_node: Dict) -> None:
-        k = np.asarray(conv_node["kernel"], dtype=np.float32)
-        sd[f"{dst}.weight"] = np.ascontiguousarray(
-            np.transpose(k, (3, 2, 0, 1))
-        )
-        if "bias" in conv_node:
-            sd[f"{dst}.bias"] = np.asarray(
-                conv_node["bias"], dtype=np.float32
-            )
+        _put_torch_conv(sd, dst, conv_node)
 
     def conv_bn(dst: str, *path) -> None:
-        n = p
-        for k in path:
-            n = n[k]
-        put(f"{dst}.conv", n["conv"])
+        put(f"{dst}.conv", _tree_node(p, *path, "conv"))
 
     def c3(dst: str, flax: str, n: int) -> None:
         conv_bn(f"{dst}.cv1", flax, "cv1")
@@ -950,25 +959,10 @@ def yolov11_fused_state_dict(variables: Dict) -> Dict[str, np.ndarray]:
     sd: Dict[str, np.ndarray] = {}
 
     def put(dst: str, conv_node: Dict, chan_perm=None) -> None:
-        k = np.asarray(conv_node["kernel"], dtype=np.float32)
-        w = np.ascontiguousarray(np.transpose(k, (3, 2, 0, 1)))
-        b = (
-            np.asarray(conv_node["bias"], dtype=np.float32)
-            if "bias" in conv_node else None
-        )
-        if chan_perm is not None:
-            w = w[chan_perm]
-            if b is not None:
-                b = b[chan_perm]
-        sd[f"{dst}.weight"] = w
-        if b is not None:
-            sd[f"{dst}.bias"] = b
+        _put_torch_conv(sd, dst, conv_node, chan_perm)
 
     def conv_bn(dst: str, *path, chan_perm=None) -> None:
-        n = p
-        for k in path:
-            n = n[k]
-        put(f"{dst}.conv", n["conv"], chan_perm)
+        put(f"{dst}.conv", _tree_node(p, *path, "conv"), chan_perm)
 
     def c3k2(dst: str, flax: str, n: int, c3k: bool) -> None:
         conv_bn(f"{dst}.cv1", flax, "cv1")
@@ -1041,10 +1035,12 @@ def shufflenetv2_fused_state_dict(
 ) -> Dict[str, np.ndarray]:
     """ShuffleNetV2 variables -> BN-folded torchvision-keyed state dict —
     the inverse of ``torch_import._convert_shufflenetv2`` composed with BN
-    folding (classifier ConvBN eps is 1e-5, not the detector's 1e-3)."""
+    folding (classifier ConvBN eps is CLASSIFIER_BN_EPS, not the
+    detector's 1e-3)."""
+    from litepi_tpu.models.registry import CLASSIFIER_BN_EPS
     from litepi_tpu.weights.fold_bn import fold_pipeline_vars
 
-    folded, fused = fold_pipeline_vars(variables, eps=1e-5)
+    folded, fused = fold_pipeline_vars(variables, eps=CLASSIFIER_BN_EPS)
     if not fused:
         raise ValueError(
             "variables carry BatchNorm params without running stats — "
@@ -1054,14 +1050,7 @@ def shufflenetv2_fused_state_dict(
     sd: Dict[str, np.ndarray] = {}
 
     def put(dst: str, conv_node: Dict) -> None:
-        k = np.asarray(conv_node["kernel"], dtype=np.float32)
-        sd[f"{dst}.weight"] = np.ascontiguousarray(
-            np.transpose(k, (3, 2, 0, 1))
-        )
-        if "bias" in conv_node:
-            sd[f"{dst}.bias"] = np.asarray(
-                conv_node["bias"], dtype=np.float32
-            )
+        _put_torch_conv(sd, dst, conv_node)
 
     put("conv1.0", p["conv1"]["conv"])
     for s, reps in zip((2, 3, 4), stage_repeats):

@@ -809,7 +809,8 @@ def run_ncnn_graph(
                     x.max(axis=(1, 2)) if ptype == 0 else x.mean(axis=(1, 2))
                 )
                 out_name = layer.tops[0]
-                continue
+                continue  # skips only the shared out_name bookkeeping below,
+                # which the two lines above already performed
             if ptype != 0:
                 raise ValueError(
                     f"{layer.name}: windowed avg pooling unsupported"

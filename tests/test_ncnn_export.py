@@ -300,6 +300,90 @@ def test_convert_cli_emit_ncnn_rejects_unsupported():
     assert rc == 2
 
 
+def test_convert_cli_wrong_arch_checkpoint_pointed_error(tmp_path, capsys):
+    """A checkpoint from a different architecture must hit the rc-2
+    pointed-error contract, not a raw flax traceback (review fix)."""
+    import jax
+
+    from litepi_tpu.apps.convert import main as convert_main
+    from litepi_tpu.models import build_classifier
+    from litepi_tpu.weights.checkpoint import save_checkpoint
+
+    model = build_classifier("shufflenetv2", 5)
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32),
+        train=False,
+    )
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), variables)
+    rc = convert_main(
+        [
+            "--arch", "yolov8n", "--num_classes", "1",
+            "--input", str(ckpt), "--output", str(tmp_path / "out"),
+        ]
+    )
+    assert rc == 2
+    assert "do not fit" in capsys.readouterr().err
+
+
+def test_convert_cli_emit_unfoldable_pointed_error(tmp_path, capsys):
+    """BN params without running stats: pointed rc-2 error, not a
+    traceback (review fix).  The smoke-test gate catches this case first
+    (an unfused model can't apply without batch_stats); the emit block
+    carries its own handler for variables that pass the smoke test but
+    fail folding."""
+    import jax
+
+    from litepi_tpu.apps.convert import main as convert_main
+    from litepi_tpu.core.types import YOLO_PLUS_V2
+    from litepi_tpu.models import YoloLitePi
+    from litepi_tpu.weights.checkpoint import save_checkpoint
+
+    model = YoloLitePi(YOLO_PLUS_V2)
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32),
+        train=False,
+    )
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), {"params": variables["params"]})  # stats dropped
+    rc = convert_main(
+        [
+            "--arch", "yolo_plus_v2", "--num_classes", "1",
+            "--input", str(ckpt), "--output", str(tmp_path / "out"),
+            "--emit", "ncnn",
+        ]
+    )
+    assert rc == 2
+    assert capsys.readouterr().err.startswith("error:")
+
+
+def test_convert_cli_emit_input_size_baked(tmp_path):
+    """--emit_input_size parameterises the baked anchor/reshape constants
+    (review fix: it used to be silently pinned at 640)."""
+    from litepi_tpu.apps.convert import main as convert_main
+    from litepi_tpu.core.types import YOLO_PLUS_V2
+    from litepi_tpu.weights.checkpoint import save_checkpoint
+    from litepi_tpu.weights.ncnn_import import parse_ncnn_param
+
+    _, variables = _flax_fused_sd(YOLO_PLUS_V2)
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), variables)
+    out = tmp_path / "export"
+    rc = convert_main(
+        [
+            "--arch", "yolo_plus_v2", "--num_classes", "1",
+            "--input", str(ckpt), "--output", str(out),
+            "--emit", "ncnn", "--emit_input_size", "320",
+        ]
+    )
+    assert rc == 0
+    layers = parse_ncnn_param(str(out / "model.ncnn.param"))
+    a320 = sum((320 // s) ** 2 for s in (8, 16, 32))  # 2,100 anchors
+    mds = [l for l in layers if l.type == "MemoryData"]
+    assert {int(l.attr(0)) for l in mds} == {a320}
+    assert f"imgsz:\n- 320\n- 320" in (out / "metadata.yaml").read_text()
+
+
 # --------------------------------------------------------------------------- #
 # ShuffleNetV2 classifier emission (convert-model-classify.ipynb cell 8)
 # --------------------------------------------------------------------------- #
