@@ -33,6 +33,16 @@ def main(argv=None) -> int:
         "DFL head, trains under the same TAL loss as the v8 family)",
     )
     p.add_argument("--num_classes", type=int, default=1)
+    p.add_argument(
+        "--width_scale", type=float, default=None,
+        help="ablation width scale on the v8 base stage widths (the "
+        "revision-ablation-study grid; yolo_plus/v8 variants only — "
+        "w=0.75 reproduces the shipped yolo_plus_v2 base)",
+    )
+    p.add_argument(
+        "--depth_scale", type=float, default=None,
+        help="ablation depth scale (C2f repeats; see --width_scale)",
+    )
     p.add_argument("--imgsz", type=int, default=640)
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--batch", type=int, default=16)
@@ -103,6 +113,23 @@ def main(argv=None) -> int:
     cfg = dataclasses.replace(
         base, num_classes=args.num_classes, input_size=args.imgsz
     )
+    if args.width_scale is not None or args.depth_scale is not None:
+        if args.variant in ("yolov11n", "yolov5n"):
+            print(
+                "error: --width_scale/--depth_scale cover the "
+                "yolo_plus/yolov8n family (the reference's ablation grid)",
+                file=sys.stderr,
+            )
+            return 2
+        from litepi_tpu.core.types import ablation_configs
+
+        (cfg,) = ablation_configs(
+            width_scales=(args.width_scale or 0.75,),
+            depth_scales=(args.depth_scale or 0.33,),
+            extra=(),
+            num_classes=args.num_classes,
+        )
+        cfg = dataclasses.replace(cfg, input_size=args.imgsz)
     custom_model = None
     if args.variant == "yolov11n":
         from litepi_tpu.models.yolov11 import YoloV11
@@ -298,6 +325,7 @@ def main(argv=None) -> int:
                 "checkpoint directory must live on a filesystem shared by "
                 "every process"
             )
+    epoch = start_epoch - 1  # keeps results.json sane when the loop is empty
     for epoch in range(start_epoch, args.epochs):
         t0 = time.perf_counter()
         # epoch-seeded cursor: a resumed run sees exactly the batches the
@@ -350,6 +378,24 @@ def main(argv=None) -> int:
             "batch_stats": jax.device_get(state.batch_stats),
         },
     )
+    # one-line harvestable summary (apps/ablation.py and users read this;
+    # the reference's ablation notebook collected the same fields from
+    # Ultralytics results_dict — revision-ablation-study.ipynb cell 12)
+    import json
+
+    with open(os.path.join(args.output, "results.json"), "w") as f:
+        json.dump(
+            {
+                "variant": args.variant,
+                "config": cfg.name,
+                # null when no val set was given (validate() returns NaN
+                # and the best tracker never fires)
+                "best_map50": round(best_map, 6) if best_epoch >= 0 else None,
+                "best_epoch": best_epoch + 1 if best_epoch >= 0 else None,
+                "epochs_run": epoch + 1,
+            },
+            f,
+        )
     print(f"best score {best_map:.4f} at epoch {best_epoch + 1}; "
           f"checkpoints in {args.output}")
     return 0
