@@ -51,19 +51,29 @@ def _real_v1_state_dict():
     return ncnn_state_dict(layers, YOLO_PLUS_V1), layers
 
 
+_INIT_CACHE = {}
+
+
 def _flax_fused_sd(cfg, seed=0):
-    """Random Flax init -> fused state dict (exercises the fold path)."""
+    """Random Flax init -> fused state dict (exercises the fold path).
+
+    Inits are cached by (name, seed): variables are spatial-size- and
+    input_size-independent, and eager init under the 8-virtual-device CPU
+    conftest is the dominant cost of this file."""
     import jax
 
     from litepi_tpu.models.yolo import YoloLitePi
     from litepi_tpu.weights.ncnn_export import detector_fused_state_dict
 
-    model = YoloLitePi(cfg)
-    variables = model.init(
-        jax.random.PRNGKey(seed),
-        np.zeros((1, 64, 64, 3), np.float32),
-        train=False,
-    )
+    key = (cfg.name, seed)
+    if key not in _INIT_CACHE:
+        model = YoloLitePi(cfg)
+        _INIT_CACHE[key] = model.init(
+            jax.random.PRNGKey(seed),
+            np.zeros((1, 64, 64, 3), np.float32),
+            train=False,
+        )
+    variables = _INIT_CACHE[key]
     return detector_fused_state_dict(variables, cfg), variables
 
 
@@ -482,12 +492,15 @@ def _v5u_fused_sd(num_classes=1, seed=0):
     from litepi_tpu.models.yolov5 import YoloV5
     from litepi_tpu.weights.ncnn_export import yolov5u_fused_state_dict
 
-    model = YoloV5(num_classes=num_classes, anchor_free=True)
-    variables = model.init(
-        jax.random.PRNGKey(seed),
-        np.zeros((1, 64, 64, 3), np.float32),
-        train=False,
-    )
+    key = ("yolov5nu", num_classes, seed)
+    if key not in _INIT_CACHE:
+        model = YoloV5(num_classes=num_classes, anchor_free=True)
+        _INIT_CACHE[key] = model.init(
+            jax.random.PRNGKey(seed),
+            np.zeros((1, 64, 64, 3), np.float32),
+            train=False,
+        )
+    variables = _INIT_CACHE[key]
     return yolov5u_fused_state_dict(variables), variables
 
 
@@ -568,12 +581,15 @@ def _v11_fused_sd(num_classes=1, seed=0):
     from litepi_tpu.models.yolov11 import YoloV11
     from litepi_tpu.weights.ncnn_export import yolov11_fused_state_dict
 
-    model = YoloV11(num_classes=num_classes)
-    variables = model.init(
-        jax.random.PRNGKey(seed),
-        np.zeros((1, 64, 64, 3), np.float32),
-        train=False,
-    )
+    key = ("yolov11n", num_classes, seed)
+    if key not in _INIT_CACHE:
+        model = YoloV11(num_classes=num_classes)
+        _INIT_CACHE[key] = model.init(
+            jax.random.PRNGKey(seed),
+            np.zeros((1, 64, 64, 3), np.float32),
+            train=False,
+        )
+    variables = _INIT_CACHE[key]
     return yolov11_fused_state_dict(variables), variables
 
 
