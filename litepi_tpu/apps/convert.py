@@ -141,19 +141,34 @@ def main(argv=None) -> int:
 
             variables = load_checkpoint(args.input)
         elif args.input.endswith((".param", ".xml")):
-            if not is_detector:
+            if not is_detector and (
+                args.input.endswith(".xml") or args.arch != "shufflenetv2"
+            ):
                 print(
-                    "error: .param/.xml ingestion covers detectors; "
-                    "classifier graphs lose their torch names in those "
-                    "exports — convert from the .pth or a name-preserving "
-                    ".onnx instead",
+                    "error: classifier graph ingestion covers shufflenetv2 "
+                    "NCNN pairs (the canonical emission); other classifier "
+                    "graphs lose their torch names in exports — convert "
+                    "from the .pth or a name-preserving .onnx instead",
                     file=sys.stderr,
                 )
                 return 2
             import os
 
             bin_path = args.bin or os.path.splitext(args.input)[0] + ".bin"
-            if args.input.endswith(".param"):
+            if not is_detector:
+                from litepi_tpu.weights.ncnn_import import (
+                    convert_classifier_ncnn,
+                )
+
+                variables, ncls = convert_classifier_ncnn(
+                    args.input, bin_path
+                )
+                if ncls != args.num_classes:
+                    raise ValueError(
+                        f"graph has {ncls} classes, --num_classes says "
+                        f"{args.num_classes}"
+                    )
+            elif args.input.endswith(".param"):
                 if variant is not None:
                     from litepi_tpu.weights.ncnn_import import (
                         convert_detector_ncnn_variant,
@@ -267,12 +282,21 @@ def main(argv=None) -> int:
             sample = np.asarray(out["cls"])[0, :3, 0]
         else:
             from litepi_tpu.models import build_classifier
+            from litepi_tpu.models.registry import CLASSIFIER_BN_EPS
+            from litepi_tpu.weights.fold_bn import fold_pipeline_vars
 
-            model = build_classifier(args.arch, args.num_classes)
+            # deploy-form variables (NCNN-ingested, pre-folded checkpoints)
+            # smoke-test through the fused module form
+            smoke_vars, fused = fold_pipeline_vars(
+                variables, eps=CLASSIFIER_BN_EPS
+            )
+            model = build_classifier(
+                args.arch, args.num_classes, fused=fused
+            )
             x = rng.uniform(
                 0, 1, (1, args.input_size, args.input_size, 3)
             ).astype(np.float32)
-            logits = np.asarray(model.apply(variables, x, train=False))
+            logits = np.asarray(model.apply(smoke_vars, x, train=False))
             ok = (
                 logits.shape == (1, args.num_classes)
                 and np.isfinite(logits).all()

@@ -67,7 +67,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "--cls_std", type=float, nargs="+", default=None,
         help="classifier crop normalisation std (1 or 3 floats)",
     )
-    p.add_argument("--classifier", default=None, help="orbax dir or torch .pth")
+    p.add_argument(
+        "--classifier", default=None,
+        help="orbax dir, torch .pth, or NCNN .param (+ sibling .bin; "
+        "shufflenetv2 canonical emission)",
+    )
     p.add_argument(
         "--clf_arch",
         default="shufflenetv2",
@@ -464,6 +468,34 @@ def main(argv=None) -> int:
     if args.classifier and args.classifier.endswith((".pth", ".pt")):
         sd = load_torch_state_dict(args.classifier)
         cls_vars = convert_classifier_state_dict(args.clf_arch, sd)
+    elif args.classifier and args.classifier.endswith(".param"):
+        # an NCNN classifier pair (apps/convert.py --emit ncnn output, or
+        # a pnnx export matching the canonical emission) — deploy form;
+        # the pipeline recognises the already-folded variables
+        from litepi_tpu.weights.ncnn_import import convert_classifier_ncnn
+
+        if args.clf_arch != "shufflenetv2":
+            print(
+                "error: --classifier .param covers shufflenetv2 (the "
+                "deployed classifier); convert other archs from .pth",
+                file=sys.stderr,
+            )
+            return 2
+        try:
+            cls_vars, ncls = convert_classifier_ncnn(
+                args.classifier,
+                args.classifier[: -len(".param")] + ".bin",
+            )
+        except (OSError, ValueError) as e:
+            print(f"error: --classifier: {e}", file=sys.stderr)
+            return 2
+        if ncls != args.num_classes:
+            print(
+                f"error: --classifier graph has {ncls} classes, "
+                f"--num_classes says {args.num_classes}",
+                file=sys.stderr,
+            )
+            return 2
     elif args.classifier:
         cls_vars = load_checkpoint(args.classifier)
     else:

@@ -679,6 +679,98 @@ def infer_detector_config(layers: Sequence[NcnnLayer]) -> DetectorConfig:
 
 
 # --------------------------------------------------------------------------- #
+# classifier graph ingestion (ShuffleNetV2 canonical form)
+# --------------------------------------------------------------------------- #
+
+
+def shufflenet_weighted_plan(stage_repeats=(4, 8, 4)):
+    """Declaration-order ``(torch_key, flax_path, layer_type)`` of every
+    weighted layer in the canonical ShuffleNetV2 NCNN graph — the form
+    :mod:`litepi_tpu.weights.ncnn_export` emits, matching torchvision's
+    module execution order (the reference's pnnx classifier exports,
+    convert-model-classify.ipynb cell 8, share it; none survive upstream
+    to diff against)."""
+    plan = [("conv1.0", ("conv1", "conv"), "Convolution")]
+    for s, reps in zip((2, 3, 4), stage_repeats):
+        for i in range(reps):
+            f, t = f"stage{s}_{i}", f"stage{s}.{i}"
+            if i == 0:
+                plan += [
+                    (f"{t}.branch1.0", (f, "b1_dw", "conv"),
+                     "ConvolutionDepthWise"),
+                    (f"{t}.branch1.2", (f, "b1_pw", "conv"), "Convolution"),
+                ]
+            plan += [
+                (f"{t}.branch2.0", (f, "b2_pw1", "conv"), "Convolution"),
+                (f"{t}.branch2.3", (f, "b2_dw", "conv"),
+                 "ConvolutionDepthWise"),
+                (f"{t}.branch2.5", (f, "b2_pw2", "conv"), "Convolution"),
+            ]
+    plan += [
+        ("conv5.0", ("conv5", "conv"), "Convolution"),
+        ("fc", ("fc",), "InnerProduct"),
+    ]
+    return plan
+
+
+def convert_classifier_ncnn(param_path, bin_path):
+    """ShuffleNetV2 NCNN pair -> (deploy-form Flax variables, num_classes).
+
+    The graph's weighted-layer sequence must match the canonical plan
+    (type-checked layer by layer); weights land as biased convs — the
+    ``ShuffleNetV2(fused=True)`` form, which the pipeline's
+    ``fold_pipeline_vars`` recognises as already deploy-form.  Closes the
+    classifier round trip: ``--emit ncnn`` output loads back here.
+    """
+    layers = (
+        param_path if isinstance(param_path, (list, tuple))
+        else parse_ncnn_param(param_path)
+    )
+    weighted = [
+        l for l in layers
+        if l.type in ("Convolution", "ConvolutionDepthWise", "InnerProduct")
+    ]
+    plan = shufflenet_weighted_plan()
+    errors: List[str] = []
+    if len(weighted) != len(plan):
+        errors.append(
+            f"weighted-layer count: graph has {len(weighted)}, the "
+            f"canonical ShuffleNetV2 form has {len(plan)}"
+        )
+    for layer, (tkey, _fpath, ltype) in zip(weighted, plan):
+        if layer.type != ltype:
+            errors.append(f"{layer.name} -> {tkey}: {layer.type} != {ltype}")
+    if errors:
+        raise ValueError(
+            "NCNN graph does not match the canonical ShuffleNetV2 "
+            "emission:\n  " + "\n  ".join(errors)
+        )
+    read_ncnn_bin(layers, bin_path)
+
+    params: Dict = {}
+
+    def _set(path, key, value):
+        node = params
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node.setdefault(path[-1], {})[key] = np.ascontiguousarray(value)
+
+    num_classes = None
+    for layer, (_tkey, fpath, ltype) in zip(weighted, plan):
+        w = layer.weights["weight"]
+        if ltype == "InnerProduct":
+            num_classes = int(w.shape[0])
+            _set(fpath, "kernel", w.T.astype(np.float32))
+            if "bias" in layer.weights:
+                _set(fpath, "bias", layer.weights["bias"])
+        else:
+            _set(fpath, "kernel", np.transpose(w, (2, 3, 1, 0)))
+            if "bias" in layer.weights:
+                _set(fpath, "bias", layer.weights["bias"])
+    return {"params": params}, num_classes
+
+
+# --------------------------------------------------------------------------- #
 # reference interpreter (golden oracle for differential tests)
 # --------------------------------------------------------------------------- #
 

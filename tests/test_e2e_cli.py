@@ -346,3 +346,68 @@ def test_cli_loads_variant_openvino_xml(synth_dataset, tmp_path):
     assert rc == 0
     rows = list(csv.reader(open(out / "comparison_summary.csv")))
     assert rows[1][0].startswith("yolov5n+")
+
+
+def test_cli_loads_emitted_classifier_param(synth_dataset, tmp_path):
+    """Classifier round trip through the CLI surface: --emit ncnn output
+    (shufflenetv2 pair) loads back via --classifier foo.param as
+    deploy-form variables."""
+    import jax
+
+    from litepi_tpu.apps.e2e import main
+    from litepi_tpu.models import build_classifier
+    from litepi_tpu.weights.ncnn_export import export_classifier_ncnn
+
+    img_dir, lbl_dir = synth_dataset
+    model = build_classifier("shufflenetv2", 3)
+    variables = model.init(
+        jax.random.PRNGKey(2), np.zeros((1, 64, 64, 3), np.float32),
+        train=False,
+    )
+    param = tmp_path / "clf.param"
+    export_classifier_ncnn(
+        "shufflenetv2", variables, 3, str(param), str(tmp_path / "clf.bin")
+    )
+    out = tmp_path / "out"
+    rc = main(
+        [
+            "--input", str(img_dir), "--labels", str(lbl_dir),
+            "--classifier", str(param),
+            "--num_classes", "3", "--det_input_size", "160",
+            "--num_samples", "2", "--output", str(out), "--device", "cpu",
+            "--warmup", "0", "--batch_size", "2", "--max_det", "8",
+            "--eval_max_candidates", "64", "--eval_max_det", "16",
+        ]
+    )
+    assert rc == 0
+    rows = list(csv.reader(open(out / "comparison_summary.csv")))
+    assert rows[1][0].endswith("+shufflenetv2")
+
+
+def test_cli_classifier_param_class_mismatch(synth_dataset, tmp_path, capsys):
+    import jax
+
+    from litepi_tpu.apps.e2e import main
+    from litepi_tpu.models import build_classifier
+    from litepi_tpu.weights.ncnn_export import export_classifier_ncnn
+
+    img_dir, lbl_dir = synth_dataset
+    model = build_classifier("shufflenetv2", 7)
+    variables = model.init(
+        jax.random.PRNGKey(2), np.zeros((1, 64, 64, 3), np.float32),
+        train=False,
+    )
+    param = tmp_path / "clf.param"
+    export_classifier_ncnn(
+        "shufflenetv2", variables, 7, str(param), str(tmp_path / "clf.bin")
+    )
+    rc = main(
+        [
+            "--input", str(img_dir), "--labels", str(lbl_dir),
+            "--classifier", str(param), "--num_classes", "3",
+            "--det_input_size", "160", "--output", str(tmp_path / "o"),
+            "--device", "cpu",
+        ]
+    )
+    assert rc == 2
+    assert "7 classes" in capsys.readouterr().err

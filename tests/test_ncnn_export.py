@@ -443,6 +443,92 @@ def test_emitted_shufflenet_runs_like_flax_model():
     np.testing.assert_allclose(out_graph, ours, atol=1e-4)
 
 
+def test_classifier_export_reingest_roundtrip():
+    """emit -> convert_classifier_ncnn -> ShuffleNetV2(fused=True) forward
+    equals the source model's (the classifier round trip, wire formats
+    included)."""
+    import jax
+    import jax.numpy as jnp
+
+    from litepi_tpu.models import build_classifier
+    from litepi_tpu.weights.ncnn_export import (
+        _ShuffleNetV2Emitter,
+        ncnn_bin_bytes,
+        ncnn_param_text,
+        shufflenetv2_fused_state_dict,
+    )
+    from litepi_tpu.weights.ncnn_import import (
+        convert_classifier_ncnn,
+        parse_ncnn_param,
+    )
+
+    model = build_classifier("shufflenetv2", 9)
+    variables = model.init(
+        jax.random.PRNGKey(3), np.zeros((1, 64, 64, 3), np.float32),
+        train=False,
+    )
+    sd = shufflenetv2_fused_state_dict(variables)
+    layers = _ShuffleNetV2Emitter(sd, 9).build()
+    fused_vars, ncls = convert_classifier_ncnn(
+        parse_ncnn_param(ncnn_param_text(layers)),
+        ncnn_bin_bytes(layers, "fp32"),
+    )
+    assert ncls == 9
+    fused_model = build_classifier("shufflenetv2", 9, fused=True)
+    x = jnp.asarray(
+        np.random.RandomState(4).rand(2, 64, 64, 3).astype(np.float32)
+    )
+    o1 = np.asarray(model.apply(variables, x, train=False))
+    o2 = np.asarray(fused_model.apply(fused_vars, x, train=False))
+    np.testing.assert_allclose(o2, o1, atol=1e-4)
+
+
+def test_convert_classifier_ncnn_rejects_detector_graph():
+    from litepi_tpu.core.types import YOLO_PLUS_V2
+    from litepi_tpu.weights.ncnn_export import build_detector_graph
+    from litepi_tpu.weights.ncnn_import import convert_classifier_ncnn
+
+    sd, _ = _flax_fused_sd(YOLO_PLUS_V2)
+    layers = build_detector_graph(YOLO_PLUS_V2, sd)
+    with pytest.raises(ValueError, match="ShuffleNetV2"):
+        convert_classifier_ncnn(layers, b"")
+
+
+def test_convert_cli_ingests_classifier_param(tmp_path):
+    """convert CLI closes the loop the other way: a classifier .param pair
+    converts to an orbax checkpoint (deploy-form), smoke-tested through
+    the fused module."""
+    import jax
+
+    from litepi_tpu.apps.convert import main as convert_main
+    from litepi_tpu.models import build_classifier
+    from litepi_tpu.weights.ncnn_export import export_classifier_ncnn
+
+    model = build_classifier("shufflenetv2", 4)
+    variables = model.init(
+        jax.random.PRNGKey(5), np.zeros((1, 64, 64, 3), np.float32),
+        train=False,
+    )
+    param = tmp_path / "clf.param"
+    export_classifier_ncnn(
+        "shufflenetv2", variables, 4, str(param), str(tmp_path / "clf.bin")
+    )
+    rc = convert_main(
+        [
+            "--arch", "shufflenetv2", "--num_classes", "4",
+            "--input", str(param), "--output", str(tmp_path / "ckpt"),
+        ]
+    )
+    assert rc == 0
+    rc = convert_main(
+        [
+            "--arch", "shufflenetv2", "--num_classes", "9",
+            "--input", str(param), "--output", str(tmp_path / "ckpt2"),
+        ]
+    )
+    assert rc == 2  # class-count mismatch surfaces as the pointed error
+
+
 def test_export_classifier_rejects_other_archs():
     from litepi_tpu.weights.ncnn_export import export_classifier_ncnn
 
