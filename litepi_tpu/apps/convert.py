@@ -72,11 +72,13 @@ def main(argv=None) -> int:
     p.add_argument("--output", required=True, help="orbax checkpoint dir")
     p.add_argument("--input_size", type=int, default=64)
     p.add_argument(
-        "--emit", choices=("orbax", "ncnn"), default="orbax",
-        help="output format: orbax checkpoint dir (default), or an NCNN "
+        "--emit", choices=("orbax", "ncnn", "onnx"), default="orbax",
+        help="output format: orbax checkpoint dir (default); an NCNN "
         ".param/.bin pair — the reference deployment's native format "
-        "(e2e.py:195-220), so a detector trained/converted here drops "
-        "straight back onto the Pi pipeline",
+        "(e2e.py:195-220); or a .onnx file — the reference's interchange "
+        "format its other artifacts convert from.  Either emission drops "
+        "a detector trained/converted here straight back onto the Pi "
+        "pipeline",
     )
     p.add_argument(
         "--emit_dtype", choices=("fp32", "fp16"), default="fp32",
@@ -98,6 +100,14 @@ def main(argv=None) -> int:
             "(yolo_plus/yolov8n/yolov5n/yolov11n) and shufflenetv2 (the "
             "deployed classifier); other classifier graph emission is not "
             "implemented — use --emit orbax",
+            file=sys.stderr,
+        )
+        return 2
+    if args.emit == "onnx" and args.arch not in DETECTOR_ARCHS:
+        print(
+            "error: --emit onnx covers the yolo_plus/yolov8n family "
+            "(the shipped yolo_plus.onnx's graph vocabulary); use "
+            "--emit ncnn or orbax for other archs",
             file=sys.stderr,
         )
         return 2
@@ -315,6 +325,39 @@ def main(argv=None) -> int:
     if not ok:
         print("error: converted model failed the smoke test", file=sys.stderr)
         return 1
+
+    if args.emit == "onnx":
+        import dataclasses
+        import os
+
+        from litepi_tpu.weights.onnx_export import export_detector_onnx
+        from litepi_tpu.weights.onnx_import import read_onnx_initializers
+
+        if args.output.endswith(".onnx"):
+            onnx_out = args.output
+            os.makedirs(os.path.dirname(onnx_out) or ".", exist_ok=True)
+        else:
+            os.makedirs(args.output, exist_ok=True)
+            onnx_out = os.path.join(args.output, "model.onnx")
+        try:
+            data = export_detector_onnx(
+                variables,
+                dataclasses.replace(cfg, input_size=args.emit_input_size),
+                onnx_out,
+            )
+        except (ValueError, KeyError) as e:
+            print(f"error: --emit onnx: {e}", file=sys.stderr)
+            return 2
+        # deserialization smoke: our own reader must recover initializers
+        if not read_onnx_initializers(data):
+            print("error: emitted ONNX has no initializers", file=sys.stderr)
+            return 1
+        print(
+            f"exported {args.input} ({args.arch}, {args.num_classes} "
+            f"classes) -> {onnx_out}; "
+            f"smoke sample={np.round(sample, 4).tolist()}"
+        )
+        return 0
 
     if args.emit == "ncnn":
         import os

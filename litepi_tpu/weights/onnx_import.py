@@ -141,6 +141,242 @@ def read_onnx_initializers(
     return out
 
 
+# --------------------------------------------------------------------------- #
+# full graph reading + a reference interpreter (golden oracle)
+# --------------------------------------------------------------------------- #
+
+import dataclasses
+from typing import Any, List
+
+
+@dataclasses.dataclass
+class OnnxNode:
+    op: str
+    name: str
+    inputs: List[str]
+    outputs: List[str]
+    attrs: Dict[str, Any]
+
+
+def _parse_attr(buf: bytes) -> Tuple[str, Any]:
+    """One AttributeProto -> (name, python value).  Covers the attribute
+    kinds the reference's exports use: INT / FLOAT / STRING / INTS."""
+    name = ""
+    value: Any = None
+    ints: List[int] = []
+    for field, wire, val in _fields(buf):
+        if field == 1 and isinstance(val, bytes):
+            name = val.decode()
+        elif field == 2 and isinstance(val, bytes):  # f (fixed32)
+            value = struct.unpack("<f", val)[0]
+        elif field == 3 and isinstance(val, int):  # i
+            value = val
+        elif field == 4 and isinstance(val, bytes):  # s
+            value = val.decode()
+        elif field == 8:  # ints (packed or repeated)
+            if wire == 0:
+                ints.append(val)
+            elif isinstance(val, bytes):
+                i = 0
+                while i < len(val):
+                    d, i = _read_varint(val, i)
+                    ints.append(d)
+    return name, (ints if ints else value)
+
+
+def read_onnx_graph(src: Union[str, bytes]):
+    """Full graph: ``(nodes, initializers, input_names, output_names)``.
+
+    The node list complements :func:`read_onnx_initializers` for
+    structural verification and interpretation of the reference's real
+    exports (src/vntsr/convert/model/yolo_plus/yolo_plus.onnx)."""
+    data = src if isinstance(src, bytes) else open(src, "rb").read()
+    nodes: List[OnnxNode] = []
+    inits: Dict[str, np.ndarray] = {}
+    graph_inputs: List[str] = []
+    graph_outputs: List[str] = []
+
+    def _io_name(buf: bytes) -> str:
+        for field, _, val in _fields(buf):
+            if field == 1 and isinstance(val, bytes):
+                return val.decode()
+        return ""
+
+    for field, _, graph in _fields(data):
+        if field != 7 or not isinstance(graph, bytes):
+            continue
+        for gfield, _, val in _fields(graph):
+            if gfield == 1 and isinstance(val, bytes):  # node
+                ins, outs, name, op = [], [], "", ""
+                attrs: Dict[str, Any] = {}
+                for nfield, _, nval in _fields(val):
+                    if nfield == 1 and isinstance(nval, bytes):
+                        ins.append(nval.decode())
+                    elif nfield == 2 and isinstance(nval, bytes):
+                        outs.append(nval.decode())
+                    elif nfield == 3 and isinstance(nval, bytes):
+                        name = nval.decode()
+                    elif nfield == 4 and isinstance(nval, bytes):
+                        op = nval.decode()
+                    elif nfield == 5 and isinstance(nval, bytes):
+                        k, v = _parse_attr(nval)
+                        attrs[k] = v
+                nodes.append(OnnxNode(op, name, ins, outs, attrs))
+            elif gfield == 5 and isinstance(val, bytes):  # initializer
+                tname, arr = _parse_tensor(val)
+                inits[tname] = arr
+            elif gfield == 11 and isinstance(val, bytes):
+                graph_inputs.append(_io_name(val))
+            elif gfield == 12 and isinstance(val, bytes):
+                graph_outputs.append(_io_name(val))
+    return nodes, inits, graph_inputs, graph_outputs
+
+
+def run_onnx_graph(
+    nodes: List[OnnxNode],
+    inits: Dict[str, np.ndarray],
+    feeds: Dict[str, np.ndarray],
+):
+    """Execute a graph on numpy feeds (NCHW, batch dim included),
+    returning ``{output_name: array}`` for every produced blob.
+
+    Implements exactly the 14 op types the reference's detector exports
+    use; convolutions run through XLA on the host CPU (same trick as
+    :func:`litepi_tpu.weights.ncnn_import.run_ncnn_graph`, whose docstring
+    explains why).  This is the execution oracle for both the REAL
+    surviving ``yolo_plus.onnx`` and graphs emitted by
+    :mod:`litepi_tpu.weights.onnx_export`.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from functools import partial
+
+    _cpu = jax.devices("cpu")[0]
+
+    @partial(jax.jit, static_argnums=(2, 3, 4, 5))
+    def _conv_jit(x, w, stride, pad, dilation, groups):
+        return jax.lax.conv_general_dilated(
+            x.astype(jnp.float32),
+            w.astype(jnp.float32),
+            window_strides=stride,
+            padding=pad,
+            rhs_dilation=dilation,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=groups,
+        )
+
+    blobs: Dict[str, np.ndarray] = dict(feeds)
+
+    def get(name: str) -> np.ndarray:
+        if name in blobs:
+            return blobs[name]
+        return inits[name]
+
+    for node in nodes:
+        op = node.op
+        if op == "Conv":
+            x = get(node.inputs[0])
+            w = get(node.inputs[1])
+            pads = node.attrs.get("pads", [0, 0, 0, 0])
+            strides = tuple(node.attrs.get("strides", [1, 1]))
+            dil = tuple(node.attrs.get("dilations", [1, 1]))
+            g = int(node.attrs.get("group", 1))
+            with jax.default_device(_cpu):
+                y = np.asarray(
+                    _conv_jit(
+                        jax.device_put(x, _cpu), jax.device_put(w, _cpu),
+                        strides,
+                        ((pads[0], pads[2]), (pads[1], pads[3])),
+                        dil, g,
+                    )
+                )
+            if len(node.inputs) > 2:
+                y = y + get(node.inputs[2]).reshape(1, -1, 1, 1)
+            blobs[node.outputs[0]] = y
+        elif op == "Sigmoid":
+            blobs[node.outputs[0]] = 1.0 / (1.0 + np.exp(-get(node.inputs[0])))
+        elif op in ("Mul", "Add", "Sub", "Div"):
+            a, b = get(node.inputs[0]), get(node.inputs[1])
+            fn = {
+                "Mul": np.multiply, "Add": np.add,
+                "Sub": np.subtract, "Div": np.divide,
+            }[op]
+            blobs[node.outputs[0]] = fn(a, b)
+        elif op == "Concat":
+            blobs[node.outputs[0]] = np.concatenate(
+                [get(i) for i in node.inputs],
+                axis=int(node.attrs["axis"]),
+            )
+        elif op == "Split":
+            x = get(node.inputs[0])
+            axis = int(node.attrs["axis"])
+            sizes = node.attrs.get("split")
+            if sizes is None and len(node.inputs) > 1:  # opset>=13 form
+                sizes = get(node.inputs[1]).tolist()
+            offs = np.cumsum([0] + list(sizes[:-1]))
+            for out, off, size in zip(node.outputs, offs, sizes):
+                sl = [slice(None)] * x.ndim
+                sl[axis] = slice(int(off), int(off + size))
+                blobs[out] = x[tuple(sl)]
+        elif op == "Reshape":
+            x = get(node.inputs[0])
+            shape = [int(v) for v in get(node.inputs[1])]
+            shape = [
+                x.shape[i] if d == 0 else d for i, d in enumerate(shape)
+            ]
+            blobs[node.outputs[0]] = x.reshape(shape)
+        elif op == "Transpose":
+            blobs[node.outputs[0]] = np.transpose(
+                get(node.inputs[0]), node.attrs["perm"]
+            )
+        elif op == "Softmax":
+            x = get(node.inputs[0])
+            axis = int(node.attrs.get("axis", -1))
+            m = x.max(axis=axis, keepdims=True)
+            e = np.exp(x - m)
+            blobs[node.outputs[0]] = e / e.sum(axis=axis, keepdims=True)
+        elif op == "MaxPool":
+            x = get(node.inputs[0])
+            kh, kw = node.attrs["kernel_shape"]
+            sh, sw = node.attrs.get("strides", [1, 1])
+            pads = node.attrs.get("pads", [0, 0, 0, 0])
+            if int(node.attrs.get("ceil_mode", 0)):
+                raise ValueError(f"{node.name}: ceil_mode unsupported")
+            xp = np.pad(
+                x,
+                ((0, 0), (0, 0), (pads[0], pads[2]), (pads[1], pads[3])),
+                constant_values=-np.inf,
+            )
+            view = np.lib.stride_tricks.sliding_window_view(
+                xp, (kh, kw), axis=(2, 3)
+            )[:, :, ::sh, ::sw]
+            blobs[node.outputs[0]] = view.max(axis=(-2, -1))
+        elif op == "Resize":
+            x = get(node.inputs[0])
+            if node.attrs.get("mode", "nearest") != "nearest":
+                raise ValueError(f"{node.name}: only nearest Resize")
+            scales = get(node.inputs[2]).astype(np.float64)
+            fh, fw = int(scales[2]), int(scales[3])
+            blobs[node.outputs[0]] = x.repeat(fh, axis=2).repeat(fw, axis=3)
+        elif op == "Slice":
+            x = get(node.inputs[0])
+            starts = [int(v) for v in get(node.inputs[1])]
+            ends = [int(v) for v in get(node.inputs[2])]
+            axes = (
+                [int(v) for v in get(node.inputs[3])]
+                if len(node.inputs) > 3
+                else list(range(len(starts)))
+            )
+            sl = [slice(None)] * x.ndim
+            for s, e, a in zip(starts, ends, axes):
+                sl[a] = slice(s, e)
+            blobs[node.outputs[0]] = x[tuple(sl)]
+        else:
+            raise ValueError(f"unsupported ONNX op {op!r} ({node.name})")
+    return blobs
+
+
 def defuse_state_dict(
     sd: Dict[str, np.ndarray], eps: float = BN_EPS
 ) -> Dict[str, np.ndarray]:
