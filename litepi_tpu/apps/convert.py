@@ -72,13 +72,15 @@ def main(argv=None) -> int:
     p.add_argument("--output", required=True, help="orbax checkpoint dir")
     p.add_argument("--input_size", type=int, default=64)
     p.add_argument(
-        "--emit", choices=("orbax", "ncnn", "onnx"), default="orbax",
+        "--emit", choices=("orbax", "ncnn", "onnx", "openvino"),
+        default="orbax",
         help="output format: orbax checkpoint dir (default); an NCNN "
         ".param/.bin pair — the reference deployment's native format "
-        "(e2e.py:195-220); or a .onnx file — the reference's interchange "
-        "format its other artifacts convert from.  Either emission drops "
-        "a detector trained/converted here straight back onto the Pi "
-        "pipeline",
+        "(e2e.py:195-220); a .onnx file — the reference's interchange "
+        "format its other artifacts convert from; or an OpenVINO IR "
+        ".xml/.bin pair (runner.py:175-222 compiles these).  Any emission "
+        "drops a detector trained/converted here straight back onto the "
+        "Pi pipeline",
     )
     p.add_argument(
         "--emit_dtype", choices=("fp32", "fp16"), default="fp32",
@@ -103,11 +105,11 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
         return 2
-    if args.emit == "onnx" and args.arch not in DETECTOR_ARCHS:
+    if args.emit in ("onnx", "openvino") and args.arch not in DETECTOR_ARCHS:
         print(
-            "error: --emit onnx covers the yolo_plus/yolov8n family "
-            "(the shipped yolo_plus.onnx's graph vocabulary); use "
-            "--emit ncnn or orbax for other archs",
+            f"error: --emit {args.emit} covers the yolo_plus/yolov8n "
+            "family (the shipped yolo_plus export's graph vocabulary); "
+            "use --emit ncnn or orbax for other archs",
             file=sys.stderr,
         )
         return 2
@@ -355,6 +357,46 @@ def main(argv=None) -> int:
         print(
             f"exported {args.input} ({args.arch}, {args.num_classes} "
             f"classes) -> {onnx_out}; "
+            f"smoke sample={np.round(sample, 4).tolist()}"
+        )
+        return 0
+
+    if args.emit == "openvino":
+        import dataclasses
+        import os
+
+        from litepi_tpu.weights.openvino_export import (
+            export_detector_openvino,
+        )
+        from litepi_tpu.weights.openvino_import import (
+            openvino_state_dict,
+            verify_openvino_topology,
+        )
+
+        if args.output.endswith(".xml"):
+            xml_out = args.output
+            os.makedirs(os.path.dirname(xml_out) or ".", exist_ok=True)
+        else:
+            os.makedirs(args.output, exist_ok=True)
+            xml_out = os.path.join(args.output, "model.xml")
+        bin_out = xml_out[: -len(".xml")] + ".bin"
+        emit_cfg = dataclasses.replace(cfg, input_size=args.emit_input_size)
+        try:
+            export_detector_openvino(variables, emit_cfg, xml_out, bin_out)
+        except (ValueError, KeyError) as e:
+            print(f"error: --emit openvino: {e}", file=sys.stderr)
+            return 2
+        # deserialization smoke: the emitted IR must pass our own topology
+        # verifier and yield a readable weight set
+        verify_openvino_topology(xml_out, emit_cfg)
+        if not openvino_state_dict(xml_out, bin_out):
+            print("error: emitted IR has no weight Consts", file=sys.stderr)
+            return 1
+        if not args.output.endswith(".xml"):
+            _write_ncnn_metadata(args, cfg)
+        print(
+            f"exported {args.input} ({args.arch}, {args.num_classes} "
+            f"classes) -> {xml_out} + .bin; "
             f"smoke sample={np.round(sample, 4).tolist()}"
         )
         return 0

@@ -53,6 +53,12 @@ class IrGraph:
     consumers: Dict[int, List[Tuple[int, int]]]
     # producer map: (to_layer, to_port) -> from_layer
     producers: Dict[Tuple[int, int], int]
+    # port-exact producer map: (to_layer, to_port) -> (from_layer, from_port)
+    # (multi-output layers — VariadicSplit, MaxPool — need the from-port to
+    # execute; weight recovery above only needs the from-layer)
+    sources: Dict[Tuple[int, int], Tuple[int, int]] = dataclasses.field(
+        default_factory=dict
+    )
 
 
 def parse_openvino_xml(xml_path: str) -> IrGraph:
@@ -69,15 +75,18 @@ def parse_openvino_xml(xml_path: str) -> IrGraph:
         )
     consumers: Dict[int, List[Tuple[int, int]]] = {}
     producers: Dict[Tuple[int, int], int] = {}
+    sources: Dict[Tuple[int, int], Tuple[int, int]] = {}
     for e in root.find("edges"):
-        f, t, tp = (
+        f, fp, t, tp = (
             int(e.get("from-layer")),
+            int(e.get("from-port")),
             int(e.get("to-layer")),
             int(e.get("to-port")),
         )
         consumers.setdefault(f, []).append((t, tp))
         producers[(t, tp)] = f
-    return IrGraph(layers, consumers, producers)
+        sources[(t, tp)] = (f, fp)
+    return IrGraph(layers, consumers, producers, sources)
 
 
 def _const_array(layer: IrLayer, blob: bytes) -> np.ndarray:
@@ -88,12 +97,16 @@ def _const_array(layer: IrLayer, blob: bytes) -> np.ndarray:
             f"{layer.data.get('element_type')!r}"
         )
     off, size = int(layer.data["offset"]), int(layer.data["size"])
-    shape_txt = layer.data.get("shape", "")
+    shape_txt = layer.data.get("shape")
     shape = tuple(
-        int(s) for s in shape_txt.replace(" ", "").split(",") if s
+        int(s) for s in (shape_txt or "").replace(" ", "").split(",") if s
     )
     arr = np.frombuffer(blob[off : off + size], dtype=dtype)
-    return arr.reshape(shape) if shape else arr
+    if shape:
+        return arr.reshape(shape)
+    # shape="" (attribute present but empty) is the IR's scalar encoding —
+    # e.g. a VariadicSplit axis Const; a missing attribute keeps the flat read
+    return arr.reshape(()) if shape_txt == "" else arr
 
 
 def _module_path(conv_name: str) -> Optional[str]:
@@ -342,6 +355,222 @@ def convert_detector_openvino(
         verify_openvino_topology(xml_path, cfg, graph=graph)
     sd = defuse_state_dict(openvino_state_dict(xml_path, bin_path, graph=graph))
     return convert_detector_state_dict(sd, cfg.depths), cfg
+
+
+def _topo_order(g: IrGraph) -> List[int]:
+    """Layer ids in dependency order (Kahn over the port-exact edges)."""
+    indeg = {lid: 0 for lid in g.layers}
+    outs: Dict[int, List[int]] = {lid: [] for lid in g.layers}
+    for (t, _tp), (f, _fp) in g.sources.items():
+        indeg[t] += 1
+        outs[f].append(t)
+    ready = sorted(lid for lid, d in indeg.items() if d == 0)
+    order: List[int] = []
+    while ready:
+        lid = ready.pop()
+        order.append(lid)
+        for t in outs[lid]:
+            indeg[t] -= 1
+            if indeg[t] == 0:
+                ready.append(t)
+    if len(order) != len(g.layers):
+        raise ValueError("IR graph contains a cycle")
+    return order
+
+
+def run_ir_graph(
+    graph: Union[str, IrGraph],
+    blob: Union[str, bytes],
+    x: np.ndarray,
+    return_values: bool = False,
+):
+    """Execute an OpenVINO IR on one (1, 3, H, W) float input.
+
+    Returns the (first) ``Result`` layer's input array — ``(1, 5, 8400)``
+    for the detector exports.  Implements exactly the op vocabulary the
+    reference's surviving IRs use (yolo_plus.xml: Convolution/Add/Swish/
+    Concat/VariadicSplit/MaxPool/Interpolate/Reshape/Transpose/SoftMax/
+    Sigmoid + the prim::ListUnpack ShapeOf/Gather/Divide/Mod/Greater/
+    Convert ``chunk(2)`` subgraph) plus GroupConvolution for the baseline
+    IRs.  Convolutions run through XLA on the host CPU backend (same
+    rationale as :func:`litepi_tpu.weights.ncnn_import.run_ncnn_graph`);
+    everything else is numpy.  This is the execution oracle standing in
+    for the OpenVINO runtime (reference: runner.py:175-222 compiles IRs
+    via ``Core.compile_model``), differentially validated against the
+    NCNN/ONNX copies of the same export and used to verify graphs emitted
+    by :mod:`litepi_tpu.weights.openvino_export`.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from functools import partial
+
+    g = graph if isinstance(graph, IrGraph) else parse_openvino_xml(graph)
+    data = blob if isinstance(blob, bytes) else open(blob, "rb").read()
+
+    _cpu = jax.devices("cpu")[0]
+
+    @partial(jax.jit, static_argnums=(2, 3, 4, 5))
+    def _conv_jit(x_, w, stride, pad, dilation, groups):
+        return jax.lax.conv_general_dilated(
+            x_.astype(jnp.float32),
+            w.astype(jnp.float32),
+            window_strides=stride,
+            padding=pad,
+            rhs_dilation=dilation,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=groups,
+        )
+
+    def _ints(layer: IrLayer, key: str, default="") -> Tuple[int, ...]:
+        txt = layer.data.get(key, default)
+        return tuple(int(s) for s in txt.replace(" ", "").split(",") if s)
+
+    # per-layer sorted input ports (port-id order == operand order)
+    in_ports: Dict[int, List[int]] = {}
+    for (t, tp) in g.sources:
+        in_ports.setdefault(t, []).append(tp)
+    for ports in in_ports.values():
+        ports.sort()
+
+    values: Dict[Tuple[int, int], np.ndarray] = {}
+    results: List[np.ndarray] = []
+
+    for lid in _topo_order(g):
+        layer = g.layers[lid]
+        t = layer.type
+        ports = in_ports.get(lid, [])
+        ins = [values[g.sources[(lid, p)]] for p in ports]
+        out_port = (ports[-1] + 1) if ports else 0
+
+        if t == "Parameter":
+            shape = _ints(layer, "shape")
+            arr = np.asarray(x, np.float32)
+            if shape and tuple(arr.shape) != shape:
+                raise ValueError(
+                    f"input shape {arr.shape} != Parameter shape {shape}"
+                )
+            values[(lid, 0)] = arr
+        elif t == "Const":
+            values[(lid, 0)] = _const_array(layer, data)
+        elif t in ("Convolution", "GroupConvolution"):
+            w = np.asarray(ins[1])
+            groups = 1
+            if t == "GroupConvolution":  # (g, out/g, in/g, k, k)
+                groups = w.shape[0]
+                w = w.reshape(w.shape[0] * w.shape[1], *w.shape[2:])
+            pb, pe = _ints(layer, "pads_begin"), _ints(layer, "pads_end")
+            with jax.default_device(_cpu):
+                y = np.asarray(
+                    _conv_jit(
+                        jax.device_put(ins[0], _cpu),
+                        jax.device_put(w, _cpu),
+                        _ints(layer, "strides", "1,1"),
+                        ((pb[0], pe[0]), (pb[1], pe[1])),
+                        _ints(layer, "dilations", "1,1"),
+                        groups,
+                    )
+                )
+            values[(lid, out_port)] = y
+        elif t in ("Add", "Subtract", "Multiply", "Divide", "Mod", "Greater"):
+            a, b = ins
+            if t == "Divide":
+                if np.issubdtype(np.asarray(a).dtype, np.integer):
+                    # m_pythondiv: traced from python // on ints
+                    y = np.floor_divide(a, b)
+                else:
+                    y = np.divide(a, b)
+            else:
+                y = {
+                    "Add": np.add, "Subtract": np.subtract,
+                    "Multiply": np.multiply, "Mod": np.mod,
+                    "Greater": np.greater,
+                }[t](a, b)
+            values[(lid, out_port)] = y
+        elif t == "Swish":
+            x_ = ins[0]
+            values[(lid, out_port)] = x_ / (1.0 + np.exp(-x_))
+        elif t == "Sigmoid":
+            values[(lid, out_port)] = 1.0 / (1.0 + np.exp(-ins[0]))
+        elif t == "SoftMax":
+            axis = int(layer.data["axis"])
+            m = ins[0].max(axis=axis, keepdims=True)
+            e = np.exp(ins[0] - m)
+            values[(lid, out_port)] = e / e.sum(axis=axis, keepdims=True)
+        elif t == "Concat":
+            values[(lid, out_port)] = np.concatenate(
+                ins, axis=int(layer.data["axis"])
+            )
+        elif t == "VariadicSplit":
+            x_ = ins[0]
+            axis = int(np.asarray(ins[1]).reshape(-1)[0])
+            sizes = list(np.asarray(ins[2]))
+            if -1 in sizes:
+                rest = x_.shape[axis] - sum(s for s in sizes if s >= 0)
+                sizes[sizes.index(-1)] = rest
+            off = 0
+            for i, size in enumerate(sizes):
+                sl = [slice(None)] * x_.ndim
+                sl[axis] = slice(off, off + int(size))
+                values[(lid, out_port + i)] = x_[tuple(sl)]
+                off += int(size)
+        elif t == "Reshape":
+            values[(lid, out_port)] = ins[0].reshape(
+                [int(v) for v in ins[1]]
+            )
+        elif t == "Transpose":
+            values[(lid, out_port)] = np.transpose(
+                ins[0], [int(v) for v in ins[1]]
+            )
+        elif t == "MaxPool":
+            if layer.data.get("rounding_type", "floor") != "floor":
+                raise ValueError(f"{layer.name}: only floor rounding")
+            kh, kw = _ints(layer, "kernel")
+            sh, sw = _ints(layer, "strides", "1,1")
+            pb, pe = _ints(layer, "pads_begin"), _ints(layer, "pads_end")
+            xp = np.pad(
+                ins[0],
+                ((0, 0), (0, 0), (pb[0], pe[0]), (pb[1], pe[1])),
+                constant_values=-np.inf,
+            )
+            view = np.lib.stride_tricks.sliding_window_view(
+                xp, (kh, kw), axis=(2, 3)
+            )[:, :, ::sh, ::sw]
+            values[(lid, out_port)] = view.max(axis=(-2, -1))
+            # port out_port+1 (argmax indices) exists in opset14 MaxPool but
+            # nothing in the detector graphs consumes it — left unproduced
+        elif t == "Interpolate":
+            if layer.data.get("mode") != "nearest":
+                raise ValueError(f"{layer.name}: only nearest Interpolate")
+            scales = np.asarray(ins[1], np.float64)
+            axes = [int(v) for v in ins[2]]
+            y = ins[0]
+            for s, a in zip(scales, axes):
+                if s != int(s):
+                    raise ValueError(f"{layer.name}: non-integer scale {s}")
+                y = y.repeat(int(s), axis=a)
+            values[(lid, out_port)] = y
+        elif t == "ShapeOf":
+            dt = _ELEMENT_DTYPES[layer.data.get("output_type", "i64")]
+            values[(lid, out_port)] = np.asarray(ins[0].shape, dt)
+        elif t == "Gather":
+            axis = int(np.asarray(ins[2]).reshape(-1)[0])
+            values[(lid, out_port)] = np.take(
+                ins[0], np.asarray(ins[1], np.int64), axis=axis
+            )
+        elif t == "Convert":
+            dt = _ELEMENT_DTYPES[layer.data["destination_type"]]
+            values[(lid, out_port)] = np.asarray(ins[0], dt)
+        elif t == "Result":
+            results.append(ins[0])
+        else:
+            raise ValueError(f"unsupported IR layer type {t!r} ({layer.name})")
+
+    if not results:
+        raise ValueError("IR graph has no Result layer")
+    if return_values:
+        return results[0], values
+    return results[0]
 
 
 def convert_detector_openvino_variant(

@@ -1,0 +1,299 @@
+"""OpenVINO IR interpretation and emission.
+
+The reference ships its detector as OpenVINO IR (one of three backends,
+runner.py:175-222), and the real vntsr v1 ``yolo_plus.xml``/``.bin`` pair
+survives the upstream blob strip; these tests use it as the golden target
+in both directions:
+
+* run_ir_graph executes the REAL IR and matches the REAL NCNN copy of
+  the same weights bit-for-bit (two independent artifacts, two
+  independent interpreters);
+* build_detector_ir(ingest(real NCNN)) reproduces the real IR's layer
+  inventory (named layers one-by-one, anonymous constants by value) and
+  — the strongest statement — its exact execution (bit-equal output);
+* emitted IRs round-trip through the standard ingestion path and the
+  convert CLI.
+"""
+
+import dataclasses
+import os
+import re
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/src"
+OV_DIR = f"{REF}/vntsr/convert/model/yolo_plus/yolo_plus_openvino_model"
+REAL_XML = f"{OV_DIR}/yolo_plus.xml"
+REAL_BIN = f"{OV_DIR}/yolo_plus.bin"
+V1_PARAM = (
+    f"{REF}/vntsr/convert/model/yolo_plus/yolo_plus_ncnn_model/"
+    "model.ncnn.param"
+)
+V1_BIN = os.path.splitext(V1_PARAM)[0] + ".bin"
+
+needs_reference = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not present"
+)
+
+
+def _real_v1_sd():
+    from litepi_tpu.core.types import YOLO_PLUS_V1
+    from litepi_tpu.weights.ncnn_import import (
+        ncnn_state_dict,
+        parse_ncnn_param,
+        read_ncnn_bin,
+    )
+
+    layers = parse_ncnn_param(V1_PARAM)
+    read_ncnn_bin(layers, V1_BIN)
+    return ncnn_state_dict(layers, YOLO_PLUS_V1)
+
+
+def _canon_name(name: str) -> str:
+    """Comparison key for IR layer names.  Deterministic trace names
+    (``__module.*``/``self.*``) keep their module path; the shared-SiLU
+    Swish counter, bare tensor-number names ('109', '727'), anonymous
+    ``Constant_NNNNN`` and ``Result_NNNNN`` collapse to their kind (their
+    numeric suffixes are trace-order artifacts, not structure)."""
+    if re.fullmatch(r"\d+", name):
+        return "<tensor-const>"
+    if re.fullmatch(r"Constant_\d+", name):
+        return "<anon-const>"
+    if re.fullmatch(r"Result_\d+", name):
+        return "Result"
+    if "/aten::silu_/Swish" in name:
+        return "<swish>"
+    return name
+
+
+def _inventory(xml_path):
+    """{canonical name or kind: multiset of (type, data-sans-offset,
+    out-shapes)} — offsets differ between blobs, everything else is
+    structural."""
+    import xml.etree.ElementTree as ET
+    from collections import Counter
+
+    inv = Counter()
+    root = ET.parse(xml_path).getroot()
+    for el in root.find("layers"):
+        data_el = el.find("data")
+        data = dict(data_el.attrib) if data_el is not None else {}
+        data.pop("offset", None)
+        # canonicalize numeric formatting ("1,3,640,640" vs "1, 3, 640, 640")
+        data = {k: v.replace(" ", "") for k, v in data.items()}
+        outs = []
+        out_el = el.find("output")
+        if out_el is not None:
+            for port in out_el:
+                outs.append(tuple(int(d.text) for d in port.findall("dim")))
+        inv[
+            (
+                _canon_name(el.get("name")),
+                el.get("type"),
+                tuple(sorted(data.items())),
+                tuple(outs),
+            )
+        ] += 1
+    edges = len(list(root.find("edges")))
+    return inv, edges
+
+
+@needs_reference
+def test_ir_interpreter_matches_real_ncnn():
+    """Cross-artifact differential: the real yolo_plus.xml through
+    run_ir_graph equals the real NCNN pair through run_ncnn_graph on the
+    same input (same exported weights; the IR stores fp32, NCNN fp16 —
+    both interpreters compute in fp32 from the same fp16-rounded values,
+    so the match is exact)."""
+    from litepi_tpu.weights.ncnn_import import (
+        parse_ncnn_param,
+        read_ncnn_bin,
+        run_ncnn_graph,
+    )
+    from litepi_tpu.weights.openvino_import import run_ir_graph
+
+    rng = np.random.RandomState(42)
+    img = rng.rand(3, 640, 640).astype(np.float32)
+    out_ir = run_ir_graph(REAL_XML, REAL_BIN, img[None])[0]
+
+    layers = parse_ncnn_param(V1_PARAM)
+    read_ncnn_bin(layers, V1_BIN)
+    out_ncnn = np.asarray(run_ncnn_graph(layers, img))
+    np.testing.assert_array_equal(out_ir, out_ncnn.reshape(out_ir.shape))
+
+
+@needs_reference
+def test_emitted_ir_reconstructs_real_export():
+    """export(ingest(real NCNN)) reproduces the real IR: layer inventory
+    (named layers one-by-one, trace-numbered ones by kind), edge count,
+    decode-constant values, and EXECUTION bit-equal."""
+    from litepi_tpu.core.types import YOLO_PLUS_V1
+    from litepi_tpu.weights.openvino_export import build_detector_ir
+    from litepi_tpu.weights.openvino_import import run_ir_graph
+
+    xml_data, bin_data = build_detector_ir(YOLO_PLUS_V1, _real_v1_sd())
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        xml_p = os.path.join(d, "m.xml")
+        with open(xml_p, "wb") as f:
+            f.write(xml_data)
+
+        inv_e, edges_e = _inventory(xml_p)
+        inv_r, edges_r = _inventory(REAL_XML)
+        assert edges_e == edges_r
+        missing = inv_r - inv_e
+        extra = inv_e - inv_r
+        assert not missing and not extra, (
+            f"missing from emission: {sorted(missing)[:5]}; "
+            f"extra in emission: {sorted(extra)[:5]}"
+        )
+
+        # anonymous-constant VALUES (reshape targets, split sizes, anchor
+        # table, stride row, decode scalars) — bit-compare as multisets
+        def _const_values(path, blob):
+            import xml.etree.ElementTree as ET
+
+            from litepi_tpu.weights.openvino_import import (
+                _const_array,
+                parse_openvino_xml,
+            )
+
+            g = parse_openvino_xml(path)
+            vals = []
+            for l in g.layers.values():
+                if l.type == "Const" and not l.name.startswith("self."):
+                    a = _const_array(l, blob)
+                    vals.append((str(a.dtype), a.shape, a.tobytes()))
+            return sorted(vals)
+
+        assert _const_values(xml_p, bin_data) == _const_values(
+            REAL_XML, open(REAL_BIN, "rb").read()
+        )
+
+        rng = np.random.RandomState(7)
+        img = rng.rand(1, 3, 640, 640).astype(np.float32)
+        out_e = run_ir_graph(xml_p, bin_data, img)
+        out_r = run_ir_graph(REAL_XML, REAL_BIN, img)
+        np.testing.assert_array_equal(out_e, out_r)  # bit-equal
+
+
+@needs_reference
+def test_emitted_ir_round_trips_through_ingestion():
+    """The standard OpenVINO ingestion path (topology verify + state-dict
+    recovery + converter) accepts an emitted pair and reproduces the
+    source variables bit-exactly."""
+    import tempfile
+
+    import jax
+
+    from litepi_tpu.weights.ncnn_import import convert_detector_ncnn
+    from litepi_tpu.weights.openvino_export import export_detector_openvino
+    from litepi_tpu.weights.openvino_import import convert_detector_openvino
+
+    variables, cfg = convert_detector_ncnn(V1_PARAM, V1_BIN)
+    with tempfile.TemporaryDirectory() as d:
+        xml_p = os.path.join(d, "m.xml")
+        export_detector_openvino(variables, cfg, xml_p)
+        v2, cfg2 = convert_detector_openvino(
+            xml_p, os.path.join(d, "m.bin")
+        )
+    assert cfg2.name == cfg.name
+    flat1 = jax.tree_util.tree_leaves_with_path(variables)
+    flat2 = dict(jax.tree_util.tree_leaves_with_path(v2))
+    assert len(flat1) == len(flat2)
+    for k, a in flat1:
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(flat2[k]))
+
+
+def test_emitted_ir_runs_like_flax_model():
+    """Small-size emission from fresh Flax variables: the emitted IR
+    through run_ir_graph equals YoloLitePi + our decode ops."""
+    import jax
+    import jax.numpy as jnp
+
+    from litepi_tpu.core.types import YOLO_PLUS_V2
+    from litepi_tpu.models.yolo import YoloLitePi
+    from litepi_tpu.ops.anchors import make_anchors
+    from litepi_tpu.ops.dfl import decode_boxes, dfl_decode
+    from litepi_tpu.weights.ncnn_export import detector_fused_state_dict
+    from litepi_tpu.weights.openvino_export import build_detector_ir
+    from litepi_tpu.weights.openvino_import import (
+        parse_openvino_xml,
+        run_ir_graph,
+    )
+
+    cfg = dataclasses.replace(YOLO_PLUS_V2, input_size=160)
+    model = YoloLitePi(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32),
+        train=False,
+    )
+    xml_data, bin_data = build_detector_ir(
+        cfg, detector_fused_state_dict(variables, cfg)
+    )
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".xml") as f:
+        f.write(xml_data)
+        f.flush()
+        g = parse_openvino_xml(f.name)
+    rng = np.random.RandomState(9)
+    img = rng.rand(3, 160, 160).astype(np.float32)
+    out_graph = run_ir_graph(g, bin_data, img[None])[0]
+
+    out = model.apply(
+        variables, jnp.asarray(img.transpose(1, 2, 0))[None], train=False
+    )
+    pts, strides = make_anchors(cfg.input_size, cfg.strides)
+    dist = dfl_decode(out["reg"], cfg.reg_max)
+    boxes = decode_boxes(
+        dist, jnp.asarray(pts), jnp.asarray(strides), xywh=True
+    )
+    cls = jax.nn.sigmoid(out["cls"].astype(jnp.float32))
+    ours = np.concatenate(
+        [np.asarray(boxes[0]).T, np.asarray(cls[0]).T], axis=0
+    )
+    np.testing.assert_allclose(ours[:4], out_graph[:4], atol=2e-3)
+    np.testing.assert_allclose(ours[4:], out_graph[4:], atol=1e-5)
+
+
+def test_convert_cli_emit_openvino(tmp_path):
+    import jax
+
+    from litepi_tpu.apps.convert import main as convert_main
+    from litepi_tpu.core.types import YOLO_PLUS_V2
+    from litepi_tpu.models.yolo import YoloLitePi
+    from litepi_tpu.weights.checkpoint import save_checkpoint
+    from litepi_tpu.weights.openvino_import import openvino_state_dict
+
+    model = YoloLitePi(YOLO_PLUS_V2)
+    variables = model.init(
+        jax.random.PRNGKey(1), np.zeros((1, 64, 64, 3), np.float32),
+        train=False,
+    )
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), variables)
+    out = tmp_path / "export"
+    rc = convert_main(
+        [
+            "--arch", "yolo_plus_v2", "--num_classes", "1",
+            "--input", str(ckpt), "--output", str(out),
+            "--emit", "openvino",
+        ]
+    )
+    assert rc == 0
+    assert (out / "model.xml").exists() and (out / "model.bin").exists()
+    assert (out / "metadata.yaml").exists()
+    sd = openvino_state_dict(str(out / "model.xml"), str(out / "model.bin"))
+    assert "model.0.conv.weight" in sd and "model.0.conv.bias" in sd
+    # classifier arch is rejected with guidance
+    rc = convert_main(
+        [
+            "--arch", "shufflenetv2", "--num_classes", "5",
+            "--input", str(ckpt), "--output", str(out),
+            "--emit", "openvino",
+        ]
+    )
+    assert rc == 2
