@@ -105,11 +105,21 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
         return 2
-    if args.emit in ("onnx", "openvino") and args.arch not in DETECTOR_ARCHS:
+    if args.emit == "onnx" and args.arch not in DETECTOR_ARCHS:
         print(
-            f"error: --emit {args.emit} covers the yolo_plus/yolov8n "
-            "family (the shipped yolo_plus export's graph vocabulary); "
-            "use --emit ncnn or orbax for other archs",
+            "error: --emit onnx covers the yolo_plus/yolov8n family "
+            "(the shipped yolo_plus.onnx's graph vocabulary); use "
+            "--emit ncnn, openvino or orbax for other archs",
+            file=sys.stderr,
+        )
+        return 2
+    if args.emit == "openvino" and args.arch not in DETECTOR_ARCHS and (
+        args.arch not in VARIANT_ARCHS
+    ):
+        print(
+            "error: --emit openvino covers the detector families "
+            "(yolo_plus/yolov8n/yolov5n/yolov11n — the shipped IR "
+            "vocabularies); use --emit orbax for classifiers",
             file=sys.stderr,
         )
         return 2
@@ -380,15 +390,37 @@ def main(argv=None) -> int:
             os.makedirs(args.output, exist_ok=True)
             xml_out = os.path.join(args.output, "model.xml")
         bin_out = xml_out[: -len(".xml")] + ".bin"
-        emit_cfg = dataclasses.replace(cfg, input_size=args.emit_input_size)
         try:
-            export_detector_openvino(variables, emit_cfg, xml_out, bin_out)
+            if variant is not None:
+                from litepi_tpu.weights.openvino_export import (
+                    export_detector_openvino_variant,
+                )
+
+                export_detector_openvino_variant(
+                    variables, variant, xml_out, bin_out,
+                    num_classes=args.num_classes,
+                    input_size=args.emit_input_size,
+                )
+            else:
+                emit_cfg = dataclasses.replace(
+                    cfg, input_size=args.emit_input_size
+                )
+                export_detector_openvino(variables, emit_cfg, xml_out, bin_out)
         except (ValueError, KeyError) as e:
             print(f"error: --emit openvino: {e}", file=sys.stderr)
             return 2
         # deserialization smoke: the emitted IR must pass our own topology
         # verifier and yield a readable weight set
-        verify_openvino_topology(xml_out, emit_cfg)
+        if variant is not None:
+            from litepi_tpu.weights.openvino_import import (
+                verify_openvino_variant_topology,
+            )
+
+            verify_openvino_variant_topology(
+                xml_out, variant, args.num_classes
+            )
+        else:
+            verify_openvino_topology(xml_out, emit_cfg)
         if not openvino_state_dict(xml_out, bin_out):
             print("error: emitted IR has no weight Consts", file=sys.stderr)
             return 1

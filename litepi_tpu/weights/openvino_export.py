@@ -3,7 +3,7 @@
 The reference deploys OpenVINO IR as one of its three backends
 (runner.py:175-222 compiles it; artifacts src/*/convert/model/*/
 *_openvino_model/).  This module rebuilds that converter TPU-side: Flax
-variables -> the exact IR vocabulary the real ``yolo_plus.xml`` uses —
+variables -> the exact IR vocabulary the real exports use —
 Convolution + anonymous-bias Add + Swish per fused conv, VariadicSplit
 C2f branches, opset14 MaxPool SPPF, opset11 scales-mode Interpolate, the
 DFL Reshape/Transpose/SoftMax/Convolution chain, and torch's ``chunk(2)``
@@ -12,19 +12,28 @@ subgraph (yolo_plus.xml layers 389-400).  Unlike NCNN params or ONNX,
 IR carries explicit per-port shapes on every edge, so the emitter runs
 full shape inference while building.
 
+Covers every detector family the reference ships as IR:
+
+* yolo_plus v1/v2 and stock yolov8n (C2f family — :class:`_C2fIrEmitter`);
+* the deployed 'yolo5' baseline, i.e. yolov5nu (C3 body, k=6 stem,
+  model.24 head — ``yolo5.xml``);
+* yolov11n (C3k2 body, C2PSA attention traced as MatMul/SoftMax with
+  GroupConvolution positional conv, depthwise-separable cls head at
+  model.23 — ``yolo11.xml``).
+
 Validation is closed-loop (tests/test_openvino_export.py):
 
-* layer inventory parity with the REAL surviving v1 IR — named layers
+* layer inventory parity with the REAL surviving IRs — named layers
   (``__module.*`` / ``self.*``) compared one-by-one on (type, attrs,
-  output shapes), anonymous layers as multisets, constant values
-  bit-compared;
-* the emitted IR executes through
+  output shapes), anonymous layers as multisets; for the v1 pair whose
+  ``.bin`` survives, constant values bit-compared and execution
+  bit-equal;
+* emitted IRs execute through
   :func:`litepi_tpu.weights.openvino_import.run_ir_graph` — itself
   validated bit-exact against the NCNN interpreter on the real export —
-  and matches the real IR's output bit-for-bit when carrying the same
-  weights;
-* :func:`litepi_tpu.weights.openvino_import.convert_detector_openvino`
-  re-ingests the emitted pair to bit-identical variables.
+  and match the corresponding Flax model + decode ops;
+* the standard ingestion paths re-ingest emitted pairs to bit-identical
+  variables.
 """
 
 from __future__ import annotations
@@ -45,11 +54,6 @@ _DTYPE_MAP = {
     np.dtype(np.bool_): ("boolean", "BOOL"),
 }
 
-# the traced SiLU module is deduplicated by torch to one shared object,
-# so every Swish in the real export carries the LAST act module's path
-# (yolo_plus.xml: all 57 Swish layers are named model.22.cv3.2.1.act)
-_SHARED_ACT = "__module.model.22.cv3.2.1.act/aten::silu_/Swish"
-
 
 @dataclasses.dataclass
 class _Value:
@@ -62,13 +66,19 @@ class _Value:
 
 
 class _IrEmitter:
-    """Builds the OpenVINO IR layer/edge/blob set for the yolo_plus / v8
-    family (C2f backbone+neck, model.22 DFL head) from a fused state
-    dict.  Layer naming follows the real export's torch-trace
+    """Shared IR assembly + shape inference for the Ultralytics export
+    families.  ``sd`` is keyed by Ultralytics module path
+    (``model.0.conv.weight`` …) — the exact layout the ingestion-side
+    state-dict builders produce, so emission and ingestion are inverses
+    by construction.  Layer naming follows the real exports' torch-trace
     conventions so structural tests can compare named inventories."""
 
-    def __init__(self, cfg: DetectorConfig, sd: Mapping[str, np.ndarray]):
-        self.cfg = cfg
+    # the traced SiLU module is deduplicated by torch to one shared
+    # object, so every Swish carries the LAST act module's path (e.g.
+    # yolo_plus.xml: all 57 Swish layers are named model.22.cv3.2.1.act)
+    SHARED_ACT = "model.22.cv3.2.1.act"
+
+    def __init__(self, sd: Mapping[str, np.ndarray]):
         self.sd = sd
         # layer dicts: id,name,type,version,data,in_ports,out_ports
         self.layers: List[Dict] = []
@@ -144,6 +154,12 @@ class _IrEmitter:
         self._anon += 1
         return self._const(f"Constant_{self._anon}", arr)
 
+    def _next_tensor_id(self) -> int:
+        # the real export names split-axis consts with bare trace-tensor
+        # numbers ('109', '727'); a fresh counter keeps ours unique
+        self._anon += 1
+        return 100 + self._anon
+
     # ------------------------------------------------------------------ #
     # model blocks
     # ------------------------------------------------------------------ #
@@ -152,17 +168,20 @@ class _IrEmitter:
         sfx = "" if self._act_count == 0 else f"_{self._act_count}"
         self._act_count += 1
         return self._layer(
-            "Swish", f"{_SHARED_ACT}{sfx}", "opset4", None, [x],
-            [(x.shape, "FP32")],
+            "Swish",
+            f"__module.{self.SHARED_ACT}/aten::silu_/Swish{sfx}",
+            "opset4", None, [x], [(x.shape, "FP32")],
         )[0]
 
     def _conv(
-        self, x: _Value, path: str, k: int, stride: int = 1, act: bool = True
+        self, x: _Value, path: str, k: int, stride: int = 1,
+        act: bool = True, pad: Optional[int] = None,
     ) -> _Value:
         stem = path if f"{path}.weight" in self.sd else f"{path}.conv"
         w = np.ascontiguousarray(self.sd[f"{stem}.weight"], np.float32)
         out_c = w.shape[0]
-        pad = k // 2
+        if pad is None:
+            pad = k // 2
         h = (x.shape[2] + 2 * pad - k) // stride + 1
         ww = (x.shape[3] + 2 * pad - k) // stride + 1
         wc = self._const(f"self.{stem}.weight", w, port_name=f"self.{stem}.weight")
@@ -190,10 +209,95 @@ class _IrEmitter:
             )[0]
         return self._swish(y) if act else y
 
+    def _dwconv(self, x: _Value, path: str, k: int, act: bool = True) -> _Value:
+        """Depthwise conv traced as GroupConvolution with the 5-D
+        (g, out/g=1, in/g=1, k, k) grouped weight — an anonymous Const
+        named ``…/aten::_convolution/Reshape`` because torch stores
+        (C, 1, k, k) and the converter reshapes it (yolo11.xml:221-224)."""
+        stem = path if f"{path}.weight" in self.sd else f"{path}.conv"
+        w = np.ascontiguousarray(self.sd[f"{stem}.weight"], np.float32)
+        c = w.shape[0]
+        pad = k // 2
+        mod = f"__module.{stem}/aten::_convolution"
+        wc = self._const(f"{mod}/Reshape", w.reshape(c, 1, 1, k, k))
+        y = self._layer(
+            "GroupConvolution", f"{mod}/GroupConvolution", "opset1",
+            {
+                "strides": "1, 1",
+                "pads_begin": f"{pad}, {pad}",
+                "pads_end": f"{pad}, {pad}",
+                "dilations": "1, 1",
+                "auto_pad": "explicit",
+            },
+            [x, wc], [((1, c, x.shape[2], x.shape[3]), "FP32")],
+        )[0]
+        bias = self.sd.get(f"{stem}.bias")
+        if bias is not None:
+            bc = self._const(
+                f"{mod}/Reshape_1",
+                np.ascontiguousarray(bias, np.float32).reshape(1, -1, 1, 1),
+            )
+            y = self._layer(
+                "Add", f"{mod}/Add", "opset1", {"auto_broadcast": "numpy"},
+                [y, bc], [(y.shape, "FP32")],
+            )[0]
+        return self._swish(y) if act else y
+
+    def _maxpool(self, x: _Value, name: str) -> _Value:
+        return self._layer(
+            "MaxPool", name, "opset14",
+            {
+                "strides": "1, 1", "dilations": "1, 1",
+                "pads_begin": "2, 2", "pads_end": "2, 2",
+                "kernel": "5, 5", "rounding_type": "floor",
+                "auto_pad": "explicit", "index_element_type": "i64",
+                "axis": "2",
+            },
+            [x], [(x.shape, "FP32"), (x.shape, "I64")],
+        )[0]
+
+    def _sppf(self, x: _Value, prefix: str = "model.9") -> _Value:
+        y = self._conv(x, f"{prefix}.cv1", 1)
+        p1 = self._maxpool(y, f"__module.{prefix}.m/aten::max_pool2d/MaxPool")
+        p2 = self._maxpool(p1, f"__module.{prefix}.m/aten::max_pool2d/MaxPool_1")
+        p3 = self._maxpool(p2, f"__module.{prefix}.m/aten::max_pool2d/MaxPool_2")
+        cat = self._layer(
+            "Concat", f"__module.{prefix}/aten::cat/Concat", "opset1",
+            {"axis": "1"}, [y, p1, p2, p3],
+            [((1, 4 * y.shape[1], y.shape[2], y.shape[3]), "FP32")],
+        )[0]
+        return self._conv(cat, f"{prefix}.cv2", 1)
+
+    def _upsample(self, x: _Value, idx: int) -> _Value:
+        mod = f"__module.model.{idx}/aten::upsample_nearest2d"
+        scales = self._const(f"{mod}/Multiply", np.asarray([2.0, 2.0], np.float32))
+        axes = self._anon_const(np.asarray([2, 3], np.int32))
+        out = (1, x.shape[1], x.shape[2] * 2, x.shape[3] * 2)
+        return self._layer(
+            "Interpolate", f"{mod}/Interpolate", "opset11",
+            {
+                "mode": "nearest", "shape_calculation_mode": "scales",
+                "coordinate_transformation_mode": "asymmetric",
+                "nearest_mode": "floor", "antialias": "false",
+                "pads_begin": "0, 0, 0, 0", "pads_end": "0, 0, 0, 0",
+                "cube_coeff": "-0.75",
+            },
+            [x, scales, axes], [(out, "FP32")],
+        )[0]
+
+    def _concat(self, name: str, parts: Sequence[_Value], axis: int = 1) -> _Value:
+        cat_c = sum(p.shape[axis] for p in parts)
+        shape = list(parts[0].shape)
+        shape[axis] = cat_c
+        return self._layer(
+            "Concat", name, "opset1", {"axis": str(axis)}, parts,
+            [(tuple(shape), "FP32")],
+        )[0]
+
     def _c2f(
-        self, x: _Value, prefix: str, out_c: int, n: int, residual: bool
+        self, x: _Value, prefix: str, n: int, residual: bool
     ) -> _Value:
-        h = out_c // 2
+        h = self.sd[f"{prefix}.cv1.conv.weight"].shape[0] // 2
         y = self._conv(x, f"{prefix}.cv1", 1)
         axis = self._const(str(self._next_tensor_id()), np.int64(1))
         sizes = self._anon_const(np.asarray([h, h], np.int64))
@@ -217,148 +321,73 @@ class _IrEmitter:
                 )[0]
             parts.append(t)
             cur = t
-        cat_c = sum(p.shape[1] for p in parts)
-        cat = self._layer(
-            "Concat", f"__module.{prefix}/aten::cat/Concat", "opset1",
-            {"axis": "1"}, parts,
-            [((1, cat_c, y.shape[2], y.shape[3]), "FP32")],
-        )[0]
+        cat = self._concat(f"__module.{prefix}/aten::cat/Concat", parts)
         return self._conv(cat, f"{prefix}.cv2", 1)
 
-    def _next_tensor_id(self) -> int:
-        # the real export names split-axis consts with bare trace-tensor
-        # numbers ('109', '727'); a fresh counter keeps ours unique
-        self._anon += 1
-        return 100 + self._anon
-
-    def _maxpool(self, x: _Value, name: str) -> _Value:
-        return self._layer(
-            "MaxPool", name, "opset14",
-            {
-                "strides": "1, 1", "dilations": "1, 1",
-                "pads_begin": "2, 2", "pads_end": "2, 2",
-                "kernel": "5, 5", "rounding_type": "floor",
-                "auto_pad": "explicit", "index_element_type": "i64",
-                "axis": "2",
-            },
-            [x], [(x.shape, "FP32"), (x.shape, "I64")],
-        )[0]
-
-    def _sppf(self, x: _Value) -> _Value:
-        y = self._conv(x, "model.9.cv1", 1)
-        p1 = self._maxpool(y, "__module.model.9.m/aten::max_pool2d/MaxPool")
-        p2 = self._maxpool(p1, "__module.model.9.m/aten::max_pool2d/MaxPool_1")
-        p3 = self._maxpool(p2, "__module.model.9.m/aten::max_pool2d/MaxPool_2")
-        cat = self._layer(
-            "Concat", "__module.model.9/aten::cat/Concat", "opset1",
-            {"axis": "1"}, [y, p1, p2, p3],
-            [((1, 4 * y.shape[1], y.shape[2], y.shape[3]), "FP32")],
-        )[0]
-        return self._conv(cat, "model.9.cv2", 1)
-
-    def _upsample(self, x: _Value, idx: int) -> _Value:
-        mod = f"__module.model.{idx}/aten::upsample_nearest2d"
-        scales = self._const(f"{mod}/Multiply", np.asarray([2.0, 2.0], np.float32))
-        axes = self._anon_const(np.asarray([2, 3], np.int32))
-        out = (1, x.shape[1], x.shape[2] * 2, x.shape[3] * 2)
-        return self._layer(
-            "Interpolate", f"{mod}/Interpolate", "opset11",
-            {
-                "mode": "nearest", "shape_calculation_mode": "scales",
-                "coordinate_transformation_mode": "asymmetric",
-                "nearest_mode": "floor", "antialias": "false",
-                "pads_begin": "0, 0, 0, 0", "pads_end": "0, 0, 0, 0",
-                "cube_coeff": "-0.75",
-            },
-            [x, scales, axes], [(out, "FP32")],
-        )[0]
+    def _c3(
+        self, x: _Value, prefix: str, n: int, residual: bool, k1: int = 1
+    ) -> _Value:
+        """C3 (v5: 1x1+3x3 bottlenecks) / C3k (v11: 3x3+3x3, ``k1=3``):
+        parallel cv1/cv2 1x1s on the block input, concat, cv3
+        (yolo5.xml layers 13-38)."""
+        cur = self._conv(x, f"{prefix}.cv1", 1)
+        for j in range(n):
+            t = self._conv(cur, f"{prefix}.m.{j}.cv1", k1)
+            t = self._conv(t, f"{prefix}.m.{j}.cv2", 3)
+            if residual:
+                t = self._layer(
+                    "Add", f"__module.{prefix}.m.{j}/aten::add/Add",
+                    "opset1", {"auto_broadcast": "numpy"},
+                    [cur, t], [(t.shape, "FP32")],
+                )[0]
+            cur = t
+        c2 = self._conv(x, f"{prefix}.cv2", 1)
+        cat = self._concat(f"__module.{prefix}/aten::cat/Concat", [cur, c2])
+        return self._conv(cat, f"{prefix}.cv3", 1)
 
     # ------------------------------------------------------------------ #
-    # whole graph
+    # detection head + in-graph decode (shared across all families)
     # ------------------------------------------------------------------ #
 
-    def build(self) -> None:
-        cfg = self.cfg
-        c, d = cfg.channels, cfg.depths
-        n_neck = d[0]
-        sc = cfg.neck_shortcut
-        s = cfg.input_size
+    def _reg_branch(self, lvl: _Value, head: str, i: int) -> _Value:
+        r = self._conv(lvl, f"{head}.cv2.{i}.0", 3)
+        r = self._conv(r, f"{head}.cv2.{i}.1", 3)
+        return self._conv(r, f"{head}.cv2.{i}.2", 1, act=False)
 
-        x = self._layer(
-            "Parameter", "x", "opset1",
-            {"shape": f"1,3,{s},{s}", "element_type": "f32"},
-            [], [((1, 3, s, s), "FP32")], out_names=["x"],
-        )[0]
-        x = self._conv(x, "model.0", 3, 2)
-        x = self._conv(x, "model.1", 3, 2)
-        x = self._c2f(x, "model.2", c[1], d[0], True)
-        x = self._conv(x, "model.3", 3, 2)
-        p3 = self._c2f(x, "model.4", c[2], d[1], True)
-        x = self._conv(p3, "model.5", 3, 2)
-        p4 = self._c2f(x, "model.6", c[3], d[2], True)
-        x = self._conv(p4, "model.7", 3, 2)
-        x = self._c2f(x, "model.8", c[4], d[3], True)
-        p5 = self._sppf(x)
+    def _cls_branch(self, lvl: _Value, head: str, i: int) -> _Value:
+        """Plain 3x3+3x3+1x1 class branch (yolo_plus/v8/v5u); v11
+        overrides with its depthwise-separable form."""
+        cl = self._conv(lvl, f"{head}.cv3.{i}.0", 3)
+        cl = self._conv(cl, f"{head}.cv3.{i}.1", 3)
+        return self._conv(cl, f"{head}.cv3.{i}.2", 1, act=False)
 
-        up = self._upsample(p5, 10)
-        t4 = self._layer(
-            "Concat", "__module.model.11/aten::cat/Concat", "opset1",
-            {"axis": "1"}, [up, p4],
-            [((1, up.shape[1] + p4.shape[1], up.shape[2], up.shape[3]), "FP32")],
-        )[0]
-        t4 = self._c2f(t4, "model.12", c[3], n_neck, sc)
-        up = self._upsample(t4, 13)
-        t3 = self._layer(
-            "Concat", "__module.model.14/aten::cat/Concat", "opset1",
-            {"axis": "1"}, [up, p3],
-            [((1, up.shape[1] + p3.shape[1], up.shape[2], up.shape[3]), "FP32")],
-        )[0]
-        n3 = self._c2f(t3, "model.15", c[2], n_neck, sc)
-        dconv = self._conv(n3, "model.16", 3, 2)
-        b4 = self._layer(
-            "Concat", "__module.model.17/aten::cat/Concat", "opset1",
-            {"axis": "1"}, [dconv, t4],
-            [((1, dconv.shape[1] + t4.shape[1], dconv.shape[2], dconv.shape[3]), "FP32")],
-        )[0]
-        n4 = self._c2f(b4, "model.18", c[3], n_neck, sc)
-        dconv = self._conv(n4, "model.19", 3, 2)
-        b5 = self._layer(
-            "Concat", "__module.model.20/aten::cat/Concat", "opset1",
-            {"axis": "1"}, [dconv, p5],
-            [((1, dconv.shape[1] + p5.shape[1], dconv.shape[2], dconv.shape[3]), "FP32")],
-        )[0]
-        n5 = self._c2f(b5, "model.21", c[4], n_neck, sc)
-        self._head_decode((n3, n4, n5))
-
-    def _head_decode(self, levels: Sequence[_Value]) -> None:
+    def _head_decode(
+        self,
+        levels: Sequence[_Value],
+        head: str,
+        reg_max: int,
+        nc: int,
+        input_size: int,
+        strides: Sequence[int] = (8, 16, 32),
+    ) -> None:
         from litepi_tpu.ops.anchors import make_anchors
 
-        cfg = self.cfg
-        reg_max, nc = cfg.reg_max, cfg.num_classes
         no = 4 * reg_max + nc
-        A = cfg.num_anchors
-        anchor_points, strides_arr = make_anchors(cfg.input_size, cfg.strides)
+        A = sum((input_size // s) ** 2 for s in strides)
+        anchor_points, strides_arr = make_anchors(input_size, strides)
         anchors_c = self._const(
-            "__module.model.22/aten::unsqueeze/Unsqueeze",
+            f"__module.{head}/aten::unsqueeze/Unsqueeze",
             np.ascontiguousarray(anchor_points.T.astype(np.float32))[None],
             port_name="anchor_points",
         )
-        h = "__module.model.22"
+        h = f"__module.{head}"
 
         flats = []
         for i, lvl in enumerate(levels):
-            r = self._conv(lvl, f"model.22.cv2.{i}.0", 3)
-            r = self._conv(r, f"model.22.cv2.{i}.1", 3)
-            r = self._conv(r, f"model.22.cv2.{i}.2", 1, act=False)
-            cl = self._conv(lvl, f"model.22.cv3.{i}.0", 3)
-            cl = self._conv(cl, f"model.22.cv3.{i}.1", 3)
-            cl = self._conv(cl, f"model.22.cv3.{i}.2", 1, act=False)
+            r = self._reg_branch(lvl, head, i)
+            cl = self._cls_branch(lvl, head, i)
             sfx = "" if i == 0 else f"_{i}"
-            cat = self._layer(
-                "Concat", f"{h}/aten::cat/Concat{sfx}", "opset1",
-                {"axis": "1"}, [r, cl],
-                [((1, no, r.shape[2], r.shape[3]), "FP32")],
-            )[0]
+            cat = self._concat(f"{h}/aten::cat/Concat{sfx}", [r, cl])
             shape_c = self._anon_const(np.asarray([1, no, -1], np.int64))
             flats.append(
                 self._layer(
@@ -381,7 +410,7 @@ class _IrEmitter:
 
         # DFL: (1,4r,A) -> (1,4,r,A) -> transpose (1,r,4,A) -> softmax over
         # bins -> expectation conv -> (1,4,A)  (yolo_plus.xml:380-388)
-        dfl = "__module.model.22.dfl"
+        dfl = f"__module.{head}.dfl"
         shape_c = self._anon_const(np.asarray([1, 4, reg_max, A], np.int64))
         t = self._layer(
             "Reshape", f"{dfl}/aten::view/Reshape", "opset1",
@@ -401,9 +430,9 @@ class _IrEmitter:
             {"axis": "1"}, [t], [(t.shape, "FP32")],
         )[0]
         dfl_w = self._const(
-            "self.model.22.dfl.conv.weight",
+            f"self.{head}.dfl.conv.weight",
             np.arange(reg_max, dtype=np.float32).reshape(1, reg_max, 1, 1),
-            port_name="self.model.22.dfl.conv.weight",
+            port_name=f"self.{head}.dfl.conv.weight",
         )
         t = self._layer(
             "Convolution", f"{dfl}.conv/aten::_convolution/Convolution",
@@ -517,6 +546,307 @@ class _IrEmitter:
         )[0]
         self._layer("Result", "Result_0", "opset1", None, [out], [])
 
+    def _parameter(self, input_size: int) -> _Value:
+        return self._layer(
+            "Parameter", "x", "opset1",
+            {"shape": f"1,3,{input_size},{input_size}", "element_type": "f32"},
+            [], [((1, 3, input_size, input_size), "FP32")], out_names=["x"],
+        )[0]
+
+
+class _C2fIrEmitter(_IrEmitter):
+    """yolo_plus v1/v2 and stock yolov8n (C2f backbone+neck, model.22
+    DFL head) — the family of the surviving ``yolo_plus.xml``."""
+
+    SHARED_ACT = "model.22.cv3.2.1.act"
+
+    def __init__(self, cfg: DetectorConfig, sd: Mapping[str, np.ndarray]):
+        super().__init__(sd)
+        self.cfg = cfg
+
+    def build(self) -> None:
+        cfg = self.cfg
+        d = cfg.depths
+        n_neck = d[0]
+        sc = cfg.neck_shortcut
+        s = cfg.input_size
+
+        x = self._parameter(s)
+        x = self._conv(x, "model.0", 3, 2)
+        x = self._conv(x, "model.1", 3, 2)
+        x = self._c2f(x, "model.2", d[0], True)
+        x = self._conv(x, "model.3", 3, 2)
+        p3 = self._c2f(x, "model.4", d[1], True)
+        x = self._conv(p3, "model.5", 3, 2)
+        p4 = self._c2f(x, "model.6", d[2], True)
+        x = self._conv(p4, "model.7", 3, 2)
+        x = self._c2f(x, "model.8", d[3], True)
+        p5 = self._sppf(x)
+
+        up = self._upsample(p5, 10)
+        t4 = self._concat("__module.model.11/aten::cat/Concat", [up, p4])
+        t4 = self._c2f(t4, "model.12", n_neck, sc)
+        up = self._upsample(t4, 13)
+        t3 = self._concat("__module.model.14/aten::cat/Concat", [up, p3])
+        n3 = self._c2f(t3, "model.15", n_neck, sc)
+        dconv = self._conv(n3, "model.16", 3, 2)
+        b4 = self._concat("__module.model.17/aten::cat/Concat", [dconv, t4])
+        n4 = self._c2f(b4, "model.18", n_neck, sc)
+        dconv = self._conv(n4, "model.19", 3, 2)
+        b5 = self._concat("__module.model.20/aten::cat/Concat", [dconv, p5])
+        n5 = self._c2f(b5, "model.21", n_neck, sc)
+        self._head_decode(
+            (n3, n4, n5), "model.22", cfg.reg_max, cfg.num_classes,
+            cfg.input_size, cfg.strides,
+        )
+
+
+class _V5uIrEmitter(_IrEmitter):
+    """yolov5nu — the deployed 'yolo5' baseline (v5 C3 body, k=6 p=2
+    stem, v8 DFL head at model.24 — yolo5.xml)."""
+
+    SHARED_ACT = "model.24.cv3.2.1.act"
+    DEPTHS = (1, 2, 3, 1)
+
+    def __init__(
+        self,
+        sd: Mapping[str, np.ndarray],
+        num_classes: int = 1,
+        input_size: int = 640,
+    ):
+        super().__init__(sd)
+        self.num_classes = num_classes
+        self.input_size = input_size
+
+    def build(self) -> None:
+        d = self.DEPTHS
+        x = self._parameter(self.input_size)
+        # Ultralytics' v5 stem is Conv(3, c1, k=6, s=2, p=2) — explicit
+        # pad 2, not the k//2=3 autopad (yolo5.xml layer 3 pads_begin=2,2)
+        x = self._conv(x, "model.0", 6, 2, pad=2)
+        x = self._conv(x, "model.1", 3, 2)
+        x = self._c3(x, "model.2", d[0], True)
+        x = self._conv(x, "model.3", 3, 2)
+        p3 = self._c3(x, "model.4", d[1], True)
+        x = self._conv(p3, "model.5", 3, 2)
+        p4 = self._c3(x, "model.6", d[2], True)
+        x = self._conv(p4, "model.7", 3, 2)
+        x = self._c3(x, "model.8", d[3], True)
+        p5 = self._sppf(x)
+
+        y10 = self._conv(p5, "model.10", 1)
+        up = self._upsample(y10, 11)
+        t4 = self._concat("__module.model.12/aten::cat/Concat", [up, p4])
+        t4 = self._c3(t4, "model.13", 1, False)
+        y14 = self._conv(t4, "model.14", 1)
+        up = self._upsample(y14, 15)
+        t3 = self._concat("__module.model.16/aten::cat/Concat", [up, p3])
+        n3 = self._c3(t3, "model.17", 1, False)
+        dconv = self._conv(n3, "model.18", 3, 2)
+        b4 = self._concat("__module.model.19/aten::cat/Concat", [dconv, y14])
+        n4 = self._c3(b4, "model.20", 1, False)
+        dconv = self._conv(n4, "model.21", 3, 2)
+        b5 = self._concat("__module.model.22/aten::cat/Concat", [dconv, y10])
+        n5 = self._c3(b5, "model.23", 1, False)
+        self._head_decode(
+            (n3, n4, n5), "model.24", 16, self.num_classes, self.input_size
+        )
+
+
+class _V11IrEmitter(_IrEmitter):
+    """yolov11n (C3k2 body, C2PSA attention, depthwise-separable cls head
+    at model.23 — yolo11.xml)."""
+
+    SHARED_ACT = "model.23.cv3.2.1.1.act"
+    DIM = 128  # C2PSA channel width (v11n P5 width // 2)
+
+    def __init__(
+        self,
+        sd: Mapping[str, np.ndarray],
+        num_classes: int = 1,
+        input_size: int = 640,
+    ):
+        super().__init__(sd)
+        self.num_classes = num_classes
+        self.input_size = input_size
+
+    def _c3k2(self, x: _Value, prefix: str, n: int, c3k: bool) -> _Value:
+        # C2f-shaped: cv1 -> split halves -> m chain -> concat -> cv2;
+        # m is a full C3k block (3x3+3x3 bottlenecks) or one half-expansion
+        # residual bottleneck (hidden derived from the cv1 weight)
+        h = self.sd[f"{prefix}.cv1.conv.weight"].shape[0] // 2
+        y = self._conv(x, f"{prefix}.cv1", 1)
+        axis = self._const(str(self._next_tensor_id()), np.int64(1))
+        sizes = self._anon_const(np.asarray([h, h], np.int64))
+        half_shape = (1, h, y.shape[2], y.shape[3])
+        halves = self._layer(
+            "VariadicSplit",
+            f"__module.{prefix}/aten::split_with_sizes/VariadicSplit",
+            "opset1", None, [y, axis, sizes],
+            [(half_shape, "FP32"), (half_shape, "FP32")],
+        )
+        parts = list(halves)
+        cur = halves[1]
+        for j in range(n):
+            if c3k:
+                t = self._c3(cur, f"{prefix}.m.{j}", 2, True, k1=3)
+            else:
+                t = self._conv(cur, f"{prefix}.m.{j}.cv1", 3)
+                t = self._conv(t, f"{prefix}.m.{j}.cv2", 3)
+                t = self._layer(
+                    "Add", f"__module.{prefix}.m.{j}/aten::add/Add",
+                    "opset1", {"auto_broadcast": "numpy"},
+                    [cur, t], [(t.shape, "FP32")],
+                )[0]
+            parts.append(t)
+            cur = t
+        cat = self._concat(f"__module.{prefix}/aten::cat/Concat", parts)
+        return self._conv(cat, f"{prefix}.cv2", 1)
+
+    def _attention(self, x: _Value, prefix: str) -> _Value:
+        """Ultralytics Attention as torch traces it (yolo11.xml layers
+        204-229): qkv conv -> view (1, nh, 2*kd+hd, N) -> q/k/v split ->
+        qT@k (MatMul transpose_a) -> scale -> softmax(-1) -> v@attnT
+        (MatMul transpose_b) -> spatial reshape + depthwise positional
+        GroupConvolution -> proj."""
+        dim = self.DIM
+        nh = max(dim // 64, 1)
+        hd = dim // nh
+        kd = hd // 2
+        size = x.shape[2]
+        N = size * size
+        mod = f"__module.{prefix}"
+
+        qkv = self._conv(x, f"{prefix}.qkv", 1, act=False)
+        shape_c = self._anon_const(
+            np.asarray([1, nh, 2 * kd + hd, N], np.int64)
+        )
+        t = self._layer(
+            "Reshape", f"{mod}/aten::view/Reshape", "opset1",
+            {"special_zero": "false"}, [qkv, shape_c],
+            [((1, nh, 2 * kd + hd, N), "FP32")],
+        )[0]
+        axis_c = self._const(str(self._next_tensor_id()), np.int64(2))
+        sizes_c = self._anon_const(np.asarray([kd, kd, hd], np.int64))
+        q, k, v = self._layer(
+            "VariadicSplit",
+            f"{mod}/aten::split_with_sizes/VariadicSplit",
+            "opset1", None, [t, axis_c, sizes_c],
+            [
+                ((1, nh, kd, N), "FP32"),
+                ((1, nh, kd, N), "FP32"),
+                ((1, nh, hd, N), "FP32"),
+            ],
+        )
+        scores = self._layer(
+            "MatMul", f"{mod}/aten::matmul/MatMul", "opset1",
+            {"transpose_a": "true", "transpose_b": "false"},
+            [q, k], [((1, nh, N, N), "FP32")],
+        )[0]
+        scale_c = self._anon_const(
+            np.asarray(kd ** -0.5, np.float32).reshape(1, 1, 1, 1)
+        )
+        scores = self._layer(
+            "Multiply", f"{mod}/aten::mul/Multiply", "opset1",
+            {"auto_broadcast": "numpy"}, [scores, scale_c],
+            [((1, nh, N, N), "FP32")],
+        )[0]
+        attn = self._layer(
+            "SoftMax", f"{mod}/aten::softmax/Softmax", "opset8",
+            {"axis": "-1"}, [scores], [((1, nh, N, N), "FP32")],
+        )[0]
+        o = self._layer(
+            "MatMul", f"{mod}/aten::matmul/MatMul_1", "opset1",
+            {"transpose_a": "false", "transpose_b": "true"},
+            [v, attn], [((1, nh, hd, N), "FP32")],
+        )[0]
+        spatial_c = self._anon_const(
+            np.asarray([1, dim, size, size], np.int64)
+        )
+        o = self._layer(
+            "Reshape", f"{mod}/aten::view/Reshape_1", "opset1",
+            {"special_zero": "false"}, [o, spatial_c],
+            [((1, dim, size, size), "FP32")],
+        )[0]
+        pe_in = self._layer(
+            "Reshape", f"{mod}/aten::reshape/Reshape", "opset1",
+            {"special_zero": "false"},
+            [v, self._anon_const(np.asarray([1, dim, size, size], np.int64))],
+            [((1, dim, size, size), "FP32")],
+        )[0]
+        pe = self._dwconv(pe_in, f"{prefix}.pe", 3, act=False)
+        o = self._layer(
+            "Add", f"{mod}/aten::add/Add", "opset1",
+            {"auto_broadcast": "numpy"}, [o, pe],
+            [((1, dim, size, size), "FP32")],
+        )[0]
+        return self._conv(o, f"{prefix}.proj", 1, act=False)
+
+    def _c2psa(self, x: _Value, prefix: str) -> _Value:
+        dim = self.DIM
+        y = self._conv(x, f"{prefix}.cv1", 1)
+        axis = self._const(str(self._next_tensor_id()), np.int64(1))
+        sizes = self._anon_const(np.asarray([dim, dim], np.int64))
+        half_shape = (1, dim, y.shape[2], y.shape[3])
+        a, bhalf = self._layer(
+            "VariadicSplit",
+            f"__module.{prefix}/aten::split_with_sizes/VariadicSplit",
+            "opset1", None, [y, axis, sizes],
+            [(half_shape, "FP32"), (half_shape, "FP32")],
+        )
+        attn = self._attention(bhalf, f"{prefix}.m.0.attn")
+        t = self._layer(
+            "Add", f"__module.{prefix}.m.0/aten::add/Add", "opset1",
+            {"auto_broadcast": "numpy"}, [bhalf, attn],
+            [(half_shape, "FP32")],
+        )[0]
+        ffn = self._conv(t, f"{prefix}.m.0.ffn.0", 1)
+        ffn = self._conv(ffn, f"{prefix}.m.0.ffn.1", 1, act=False)
+        t = self._layer(
+            "Add", f"__module.{prefix}.m.0/aten::add/Add_1", "opset1",
+            {"auto_broadcast": "numpy"}, [t, ffn],
+            [(half_shape, "FP32")],
+        )[0]
+        cat = self._concat(f"__module.{prefix}/aten::cat/Concat", [a, t])
+        return self._conv(cat, f"{prefix}.cv2", 1)
+
+    def _cls_branch(self, lvl: _Value, head: str, i: int) -> _Value:
+        cl = self._dwconv(lvl, f"{head}.cv3.{i}.0.0", 3)
+        cl = self._conv(cl, f"{head}.cv3.{i}.0.1", 1)
+        cl = self._dwconv(cl, f"{head}.cv3.{i}.1.0", 3)
+        cl = self._conv(cl, f"{head}.cv3.{i}.1.1", 1)
+        return self._conv(cl, f"{head}.cv3.{i}.2", 1, act=False)
+
+    def build(self) -> None:
+        x = self._parameter(self.input_size)
+        x = self._conv(x, "model.0", 3, 2)
+        x = self._conv(x, "model.1", 3, 2)
+        x = self._c3k2(x, "model.2", 1, False)
+        x = self._conv(x, "model.3", 3, 2)
+        p3 = self._c3k2(x, "model.4", 1, False)
+        x = self._conv(p3, "model.5", 3, 2)
+        p4 = self._c3k2(x, "model.6", 1, True)
+        x = self._conv(p4, "model.7", 3, 2)
+        x = self._c3k2(x, "model.8", 1, True)
+        x = self._sppf(x)
+        p5 = self._c2psa(x, "model.10")
+
+        up = self._upsample(p5, 11)
+        t4 = self._concat("__module.model.12/aten::cat/Concat", [up, p4])
+        t4 = self._c3k2(t4, "model.13", 1, False)
+        up = self._upsample(t4, 14)
+        t3 = self._concat("__module.model.15/aten::cat/Concat", [up, p3])
+        n3 = self._c3k2(t3, "model.16", 1, False)
+        dconv = self._conv(n3, "model.17", 3, 2)
+        b4 = self._concat("__module.model.18/aten::cat/Concat", [dconv, t4])
+        n4 = self._c3k2(b4, "model.19", 1, False)
+        dconv = self._conv(n4, "model.20", 3, 2)
+        b5 = self._concat("__module.model.21/aten::cat/Concat", [dconv, p5])
+        n5 = self._c3k2(b5, "model.22", 1, True)
+        self._head_decode(
+            (n3, n4, n5), "model.23", 16, self.num_classes, self.input_size
+        )
+
 
 # --------------------------------------------------------------------------- #
 # serialization + public entry points
@@ -590,9 +920,40 @@ def build_detector_ir(
 ) -> Tuple[bytes, bytes]:
     """Fused state dict + config -> (``.xml`` bytes, ``.bin`` bytes) for a
     yolo_plus/v8-family detector, in-graph decode, ``x`` -> (1, 4+nc, A)."""
-    em = _IrEmitter(cfg, sd)
+    em = _C2fIrEmitter(cfg, sd)
     em.build()
     return ir_xml_bytes(em.layers, em.edges, name=cfg.name), bytes(em.blob)
+
+
+def build_variant_ir(
+    variant: str,
+    sd: Mapping[str, np.ndarray],
+    num_classes: int = 1,
+    input_size: int = 640,
+) -> Tuple[bytes, bytes]:
+    """Baseline-variant fused state dict -> IR pair, layer-inventory
+    verified against the shipped ``yolo5.xml``/``yolo11.xml``."""
+    emitters = {"yolov5nu": _V5uIrEmitter, "yolov11n": _V11IrEmitter}
+    if variant not in emitters:
+        raise ValueError(
+            f"unknown variant {variant!r}; choices: {sorted(emitters)}"
+        )
+    em = emitters[variant](sd, num_classes, input_size)
+    em.build()
+    return ir_xml_bytes(em.layers, em.edges, name=variant), bytes(em.blob)
+
+
+def _write_ir_pair(
+    xml_data: bytes, bin_data: bytes, xml_path: str, bin_path: Optional[str]
+) -> None:
+    if bin_path is None:
+        bin_path = xml_path[: -len(".xml")] + ".bin" if xml_path.endswith(
+            ".xml"
+        ) else xml_path + ".bin"
+    with open(xml_path, "wb") as f:
+        f.write(xml_data)
+    with open(bin_path, "wb") as f:
+        f.write(bin_data)
 
 
 def export_detector_openvino(
@@ -606,12 +967,35 @@ def export_detector_openvino(
 
     sd = detector_fused_state_dict(variables, cfg)
     xml_data, bin_data = build_detector_ir(cfg, sd)
-    if bin_path is None:
-        bin_path = xml_path[: -len(".xml")] + ".bin" if xml_path.endswith(
-            ".xml"
-        ) else xml_path + ".bin"
-    with open(xml_path, "wb") as f:
-        f.write(xml_data)
-    with open(bin_path, "wb") as f:
-        f.write(bin_data)
+    _write_ir_pair(xml_data, bin_data, xml_path, bin_path)
+    return xml_data, bin_data
+
+
+def export_detector_openvino_variant(
+    variables: Dict,
+    variant: str,
+    xml_path: str,
+    bin_path: Optional[str] = None,
+    num_classes: int = 1,
+    input_size: int = 640,
+) -> Tuple[bytes, bytes]:
+    """Baseline-variant sibling of :func:`export_detector_openvino` —
+    emits the yolov5nu / yolov11n IRs (the deployed baselines' exact
+    structures) from YoloV5(anchor_free=True) / YoloV11 variables."""
+    from litepi_tpu.weights.ncnn_export import (
+        yolov5u_fused_state_dict,
+        yolov11_fused_state_dict,
+    )
+
+    builders = {
+        "yolov5nu": yolov5u_fused_state_dict,
+        "yolov11n": yolov11_fused_state_dict,
+    }
+    if variant not in builders:
+        raise ValueError(
+            f"unknown variant {variant!r}; choices: {sorted(builders)}"
+        )
+    sd = builders[variant](variables)
+    xml_data, bin_data = build_variant_ir(variant, sd, num_classes, input_size)
+    _write_ir_pair(xml_data, bin_data, xml_path, bin_path)
     return xml_data, bin_data

@@ -391,8 +391,8 @@ def run_ir_graph(
     reference's surviving IRs use (yolo_plus.xml: Convolution/Add/Swish/
     Concat/VariadicSplit/MaxPool/Interpolate/Reshape/Transpose/SoftMax/
     Sigmoid + the prim::ListUnpack ShapeOf/Gather/Divide/Mod/Greater/
-    Convert ``chunk(2)`` subgraph) plus GroupConvolution for the baseline
-    IRs.  Convolutions run through XLA on the host CPU backend (same
+    Convert ``chunk(2)`` subgraph) plus GroupConvolution and MatMul for
+    the baseline IRs (yolo11.xml's depthwise convs and attention).  Convolutions run through XLA on the host CPU backend (same
     rationale as :func:`litepi_tpu.weights.ncnn_import.run_ncnn_graph`);
     everything else is numpy.  This is the execution oracle standing in
     for the OpenVINO runtime (reference: runner.py:175-222 compiles IRs
@@ -514,6 +514,13 @@ def run_ir_graph(
                 sl[axis] = slice(off, off + int(size))
                 values[(lid, out_port + i)] = x_[tuple(sl)]
                 off += int(size)
+        elif t == "MatMul":
+            a, b = ins
+            if layer.data.get("transpose_a") == "true":
+                a = np.swapaxes(a, -1, -2)
+            if layer.data.get("transpose_b") == "true":
+                b = np.swapaxes(b, -1, -2)
+            values[(lid, out_port)] = np.matmul(a, b)
         elif t == "Reshape":
             values[(lid, out_port)] = ins[0].reshape(
                 [int(v) for v in ins[1]]

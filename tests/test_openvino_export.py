@@ -259,6 +259,196 @@ def test_emitted_ir_runs_like_flax_model():
     np.testing.assert_allclose(ours[4:], out_graph[4:], atol=1e-5)
 
 
+# --------------------------------------------------------------------------- #
+# baseline-variant emission (yolov5nu / yolov11n)
+# --------------------------------------------------------------------------- #
+
+
+@needs_reference
+@pytest.mark.parametrize("tree", ["tt100k", "vntsr"])
+def test_emitted_v5u_ir_matches_real_export(tree, tmp_path):
+    """The deployed 'yolo5' baseline: emitted IR must reproduce BOTH
+    trees' shipped yolo5.xml layer inventories (named layers one-by-one
+    on type/attrs/shapes, anonymous ones by kind) and edge counts —
+    covers the C3 emission, the k=6 p=2 stem, the two 1x1 neck reduce
+    convs and the model.24 head.  (Both baseline .bins are stripped
+    upstream, so structure is what is checkable.)"""
+    from tests.test_ncnn_export import _v5u_fused_sd
+
+    from litepi_tpu.weights.openvino_export import build_variant_ir
+
+    sd, _ = _v5u_fused_sd()
+    xml_data, _bin = build_variant_ir("yolov5nu", sd)
+    xml_p = tmp_path / "v5u.xml"
+    xml_p.write_bytes(xml_data)
+    inv_e, edges_e = _inventory(str(xml_p))
+    inv_r, edges_r = _inventory(
+        f"{REF}/{tree}/convert/model/yolo5/yolo5_openvino_model/yolo5.xml"
+    )
+    assert edges_e == edges_r
+    missing = inv_r - inv_e
+    extra = inv_e - inv_r
+    assert not missing and not extra, (
+        f"missing from emission: {sorted(missing)[:5]}; "
+        f"extra in emission: {sorted(extra)[:5]}"
+    )
+
+
+@needs_reference
+@pytest.mark.parametrize("tree", ["tt100k", "vntsr"])
+def test_emitted_v11_ir_matches_real_export(tree, tmp_path):
+    """yolov11n: emitted IR reproduces both shipped yolo11.xml
+    inventories — covers C3k2/C3k emission, the traced C2PSA attention
+    (qkv view, MatMul transpose_a/b pair, scale Multiply, softmax(-1),
+    GroupConvolution positional conv) and the depthwise-separable cls
+    head at model.23."""
+    from tests.test_ncnn_export import _v11_fused_sd
+
+    from litepi_tpu.weights.openvino_export import build_variant_ir
+
+    sd, _ = _v11_fused_sd()
+    xml_data, _bin = build_variant_ir("yolov11n", sd)
+    xml_p = tmp_path / "v11.xml"
+    xml_p.write_bytes(xml_data)
+    inv_e, edges_e = _inventory(str(xml_p))
+    inv_r, edges_r = _inventory(
+        f"{REF}/{tree}/convert/model/yolo11/yolo11_openvino_model/yolo11.xml"
+    )
+    assert edges_e == edges_r
+    missing = inv_r - inv_e
+    extra = inv_e - inv_r
+    assert not missing and not extra, (
+        f"missing from emission: {sorted(missing)[:5]}; "
+        f"extra in emission: {sorted(extra)[:5]}"
+    )
+
+
+def _variant_forward_parity(variant, model, variables, sd, rng_seed):
+    """Emitted variant IR through run_ir_graph equals the Flax model +
+    our decode ops at a small input size."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from litepi_tpu.ops.anchors import make_anchors
+    from litepi_tpu.ops.dfl import decode_boxes, dfl_decode
+    from litepi_tpu.weights.openvino_export import build_variant_ir
+    from litepi_tpu.weights.openvino_import import (
+        parse_openvino_xml,
+        run_ir_graph,
+    )
+
+    size = 160
+    xml_data, bin_data = build_variant_ir(variant, sd, input_size=size)
+    with tempfile.NamedTemporaryFile(suffix=".xml") as f:
+        f.write(xml_data)
+        f.flush()
+        g = parse_openvino_xml(f.name)
+    rng = np.random.RandomState(rng_seed)
+    img = rng.rand(3, size, size).astype(np.float32)
+    out_graph = run_ir_graph(g, bin_data, img[None])[0]
+
+    out = model.apply(
+        variables, jnp.asarray(img.transpose(1, 2, 0))[None], train=False
+    )
+    pts, strides = make_anchors(size)
+    dist = dfl_decode(out["reg"], 16)
+    boxes = decode_boxes(
+        dist, jnp.asarray(pts), jnp.asarray(strides), xywh=True
+    )
+    cls = jax.nn.sigmoid(out["cls"].astype(jnp.float32))
+    ours = np.concatenate(
+        [np.asarray(boxes[0]).T, np.asarray(cls[0]).T], axis=0
+    )
+    assert out_graph.shape == ours.shape
+    np.testing.assert_allclose(ours[:4], out_graph[:4], atol=2e-3)
+    np.testing.assert_allclose(ours[4:], out_graph[4:], atol=1e-5)
+
+
+def test_emitted_v5u_ir_runs_like_flax_model():
+    from tests.test_ncnn_export import _v5u_fused_sd
+
+    from litepi_tpu.models.yolov5 import YoloV5
+
+    sd, variables = _v5u_fused_sd()
+    _variant_forward_parity(
+        "yolov5nu", YoloV5(num_classes=1, anchor_free=True), variables, sd, 3
+    )
+
+
+def test_emitted_v11_ir_runs_like_flax_model():
+    """Includes the attention subgraph: the IR's MatMul/softmax chain on
+    the torch heads-major qkv layout must equal YoloV11's branch-major
+    attention (exact 1/sqrt(kd) scale — the IR stores the traced float,
+    unlike pnnx's 6-digit fold, so tolerances stay at conv-order level)."""
+    from tests.test_ncnn_export import _v11_fused_sd
+
+    from litepi_tpu.models.yolov11 import YoloV11
+
+    sd, variables = _v11_fused_sd()
+    _variant_forward_parity(
+        "yolov11n", YoloV11(num_classes=1), variables, sd, 5
+    )
+
+
+def _variant_reingest_parity(variant, model, variables, tmp_path):
+    """export -> convert_detector_openvino_variant -> forward parity.
+    Source is train-form (conv+bn); re-ingest is deploy-keyed with
+    identity BN — compare through the fused forward instead of trees
+    (same contract as the NCNN round-trip tests)."""
+    import jax.numpy as jnp
+
+    from litepi_tpu.weights.openvino_export import (
+        export_detector_openvino_variant,
+    )
+    from litepi_tpu.weights.openvino_import import (
+        convert_detector_openvino_variant,
+    )
+
+    xml_p = tmp_path / "m.xml"
+    export_detector_openvino_variant(variables, variant, str(xml_p))
+    v2 = convert_detector_openvino_variant(
+        str(xml_p), str(tmp_path / "m.bin"), variant
+    )
+    x = jnp.asarray(
+        np.random.RandomState(2).rand(1, 64, 64, 3).astype(np.float32)
+    )
+    o1 = model.apply(variables, x, train=False)
+    o2 = model.apply(v2, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(o1["cls"]), np.asarray(o2["cls"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(o1["reg"]), np.asarray(o2["reg"]), atol=1e-4
+    )
+
+
+def test_v5u_ir_export_reingest_roundtrip(tmp_path):
+    from tests.test_ncnn_export import _v5u_fused_sd
+
+    from litepi_tpu.models.yolov5 import YoloV5
+
+    _, variables = _v5u_fused_sd()
+    _variant_reingest_parity(
+        "yolov5nu", YoloV5(num_classes=1, anchor_free=True), variables,
+        tmp_path,
+    )
+
+
+def test_v11_ir_export_reingest_roundtrip(tmp_path):
+    """v11 round trip: the qkv heads-major re-packing at export must
+    compose with ingestion's permutation to the identity."""
+    from tests.test_ncnn_export import _v11_fused_sd
+
+    from litepi_tpu.models.yolov11 import YoloV11
+
+    _, variables = _v11_fused_sd()
+    _variant_reingest_parity(
+        "yolov11n", YoloV11(num_classes=1), variables, tmp_path
+    )
+
+
 def test_convert_cli_emit_openvino(tmp_path):
     import jax
 
@@ -297,3 +487,34 @@ def test_convert_cli_emit_openvino(tmp_path):
         ]
     )
     assert rc == 2
+
+
+def test_convert_cli_emit_openvino_variant(tmp_path):
+    """--emit openvino on a baseline-variant arch (yolov5n) emits the
+    deployed yolo5.xml structure and the pair re-ingests through the
+    variant loader."""
+    from litepi_tpu.apps.convert import main as convert_main
+    from litepi_tpu.weights.checkpoint import save_checkpoint
+    from litepi_tpu.weights.openvino_import import (
+        convert_detector_openvino_variant,
+    )
+
+    from tests.test_ncnn_export import _v5u_fused_sd
+
+    _, variables = _v5u_fused_sd()
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), variables)
+    out = tmp_path / "export"
+    rc = convert_main(
+        [
+            "--arch", "yolov5n", "--num_classes", "1",
+            "--input", str(ckpt), "--output", str(out),
+            "--emit", "openvino", "--emit_input_size", "320",
+        ]
+    )
+    assert rc == 0
+    assert (out / "model.xml").exists() and (out / "model.bin").exists()
+    v2 = convert_detector_openvino_variant(
+        str(out / "model.xml"), str(out / "model.bin"), "yolov5nu"
+    )
+    assert v2 is not None
