@@ -105,21 +105,25 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
         return 2
-    if args.emit == "onnx" and args.arch not in DETECTOR_ARCHS:
+    if args.emit == "onnx" and args.arch not in DETECTOR_ARCHS and (
+        args.arch != "shufflenetv2"
+    ):
         print(
             "error: --emit onnx covers the yolo_plus/yolov8n family "
-            "(the shipped yolo_plus.onnx's graph vocabulary); use "
-            "--emit ncnn, openvino or orbax for other archs",
+            "(the shipped yolo_plus.onnx's graph vocabulary) and "
+            "shufflenetv2 (the deployed classifier); use --emit ncnn, "
+            "openvino or orbax for other archs",
             file=sys.stderr,
         )
         return 2
     if args.emit == "openvino" and args.arch not in DETECTOR_ARCHS and (
         args.arch not in VARIANT_ARCHS
-    ):
+    ) and args.arch != "shufflenetv2":
         print(
             "error: --emit openvino covers the detector families "
             "(yolo_plus/yolov8n/yolov5n/yolov11n — the shipped IR "
-            "vocabularies); use --emit orbax for classifiers",
+            "vocabularies) and shufflenetv2 (the deployed classifier); "
+            "use --emit orbax for other archs",
             file=sys.stderr,
         )
         return 2
@@ -342,7 +346,6 @@ def main(argv=None) -> int:
         import dataclasses
         import os
 
-        from litepi_tpu.weights.onnx_export import export_detector_onnx
         from litepi_tpu.weights.onnx_import import read_onnx_initializers
 
         if args.output.endswith(".onnx"):
@@ -352,11 +355,25 @@ def main(argv=None) -> int:
             os.makedirs(args.output, exist_ok=True)
             onnx_out = os.path.join(args.output, "model.onnx")
         try:
-            data = export_detector_onnx(
-                variables,
-                dataclasses.replace(cfg, input_size=args.emit_input_size),
-                onnx_out,
-            )
+            if not is_detector:
+                from litepi_tpu.weights.onnx_export import (
+                    export_classifier_onnx,
+                )
+
+                data = export_classifier_onnx(
+                    args.arch, variables, args.num_classes, onnx_out,
+                    input_size=args.input_size,
+                )
+            else:
+                from litepi_tpu.weights.onnx_export import (
+                    export_detector_onnx,
+                )
+
+                data = export_detector_onnx(
+                    variables,
+                    dataclasses.replace(cfg, input_size=args.emit_input_size),
+                    onnx_out,
+                )
         except (ValueError, KeyError) as e:
             print(f"error: --emit onnx: {e}", file=sys.stderr)
             return 2
@@ -391,7 +408,16 @@ def main(argv=None) -> int:
             xml_out = os.path.join(args.output, "model.xml")
         bin_out = xml_out[: -len(".xml")] + ".bin"
         try:
-            if variant is not None:
+            if not is_detector:
+                from litepi_tpu.weights.openvino_export import (
+                    export_classifier_openvino,
+                )
+
+                export_classifier_openvino(
+                    args.arch, variables, args.num_classes, xml_out,
+                    bin_out, input_size=args.input_size,
+                )
+            elif variant is not None:
                 from litepi_tpu.weights.openvino_export import (
                     export_detector_openvino_variant,
                 )
@@ -411,7 +437,19 @@ def main(argv=None) -> int:
             return 2
         # deserialization smoke: the emitted IR must pass our own topology
         # verifier and yield a readable weight set
-        if variant is not None:
+        if not is_detector:
+            from litepi_tpu.weights.openvino_import import (
+                convert_classifier_openvino_fused,
+            )
+
+            _, smoke_nc = convert_classifier_openvino_fused(xml_out, bin_out)
+            if smoke_nc != args.num_classes:
+                print(
+                    f"error: emitted IR re-ingests with {smoke_nc} classes",
+                    file=sys.stderr,
+                )
+                return 1
+        elif variant is not None:
             from litepi_tpu.weights.openvino_import import (
                 verify_openvino_variant_topology,
             )
@@ -421,7 +459,7 @@ def main(argv=None) -> int:
             )
         else:
             verify_openvino_topology(xml_out, emit_cfg)
-        if not openvino_state_dict(xml_out, bin_out):
+        if is_detector and not openvino_state_dict(xml_out, bin_out):
             print("error: emitted IR has no weight Consts", file=sys.stderr)
             return 1
         if not args.output.endswith(".xml"):

@@ -746,7 +746,20 @@ def convert_classifier_ncnn(param_path, bin_path):
             "emission:\n  " + "\n  ".join(errors)
         )
     read_ncnn_bin(layers, bin_path)
+    sd: Dict[str, np.ndarray] = {}
+    for layer, (tkey, _fpath, _ltype) in zip(weighted, plan):
+        sd[f"{tkey}.weight"] = layer.weights["weight"]
+        if "bias" in layer.weights:
+            sd[f"{tkey}.bias"] = layer.weights["bias"]
+    return shufflenet_deploy_variables(sd)
 
+
+def shufflenet_deploy_variables(sd: Dict[str, np.ndarray]):
+    """Fused torchvision-keyed arrays (``conv1.0.weight`` …, ``fc.weight``)
+    -> (``ShuffleNetV2(fused=True)`` deploy-form variables, num_classes).
+    The shared tail of every classifier ingestion path (NCNN pairs, fused
+    ONNX exports) — torch (O, I, kh, kw) kernels transpose to Flax
+    (kh, kw, I, O), the fc matrix to (I, O)."""
     params: Dict = {}
 
     def _set(path, key, value):
@@ -756,17 +769,16 @@ def convert_classifier_ncnn(param_path, bin_path):
         node.setdefault(path[-1], {})[key] = np.ascontiguousarray(value)
 
     num_classes = None
-    for layer, (_tkey, fpath, ltype) in zip(weighted, plan):
-        w = layer.weights["weight"]
+    for tkey, fpath, ltype in shufflenet_weighted_plan():
+        w = sd[f"{tkey}.weight"]
+        bias = sd.get(f"{tkey}.bias")
         if ltype == "InnerProduct":
             num_classes = int(w.shape[0])
             _set(fpath, "kernel", w.T.astype(np.float32))
-            if "bias" in layer.weights:
-                _set(fpath, "bias", layer.weights["bias"])
         else:
             _set(fpath, "kernel", np.transpose(w, (2, 3, 1, 0)))
-            if "bias" in layer.weights:
-                _set(fpath, "bias", layer.weights["bias"])
+        if bias is not None:
+            _set(fpath, "bias", bias)
     return {"params": params}, num_classes
 
 

@@ -458,6 +458,8 @@ def onnx_model_bytes(
     inits: Mapping[str, np.ndarray],
     input_shape: Sequence[int],
     output_shape: Sequence[int],
+    input_name: str = "images",
+    output_name: str = "output0",
 ) -> bytes:
     """Assemble ModelProto bytes (ir 7 / opset 12, the real export's
     versions — yolo_plus.onnx header)."""
@@ -467,8 +469,8 @@ def onnx_model_bytes(
     graph += _str_field(2, "main_graph")
     for name, arr in inits.items():
         graph += _len_field(5, _tensor_proto(name, arr))
-    graph += _len_field(11, _value_info("images", input_shape))
-    graph += _len_field(12, _value_info("output0", output_shape))
+    graph += _len_field(11, _value_info(input_name, input_shape))
+    graph += _len_field(12, _value_info(output_name, output_shape))
 
     model = bytearray()
     model += _int_field(1, 7)  # ir_version
@@ -503,6 +505,226 @@ def export_detector_onnx(
 
     sd = detector_fused_state_dict(variables, cfg)
     data = build_detector_onnx(cfg, sd)
+    with open(path, "wb") as f:
+        f.write(data)
+    return data
+
+
+# --------------------------------------------------------------------------- #
+# classifier emission (ShuffleNetV2 — the deployed choice)
+# --------------------------------------------------------------------------- #
+
+
+class _ShuffleNetV2OnnxEmitter:
+    """ShuffleNetV2 x1.0 deploy-form ONNX emission — the classifier leg
+    of the reference's export flow, which runs torch.onnx.export BEFORE
+    the NCNN/OpenVINO conversions (convert-model-classify.ipynb cell 3).
+    No classifier ONNX survives the upstream blob strip, so the emitted
+    vocabulary is the fused eval-mode trace (Conv+Relu incl. grouped
+    depthwise, Split halves, the Reshape/Transpose/Reshape channel
+    shuffle, ReduceMean spatial mean, Gemm) and validation is interpreter
+    forward parity + re-ingestion (tests/test_onnx_export.py).
+
+    ``sd`` is keyed torchvision-style (``conv1.0.weight`` …), the fused
+    layout :func:`litepi_tpu.weights.ncnn_export.
+    shufflenetv2_fused_state_dict` produces.
+    """
+
+    def __init__(
+        self,
+        sd: Mapping[str, np.ndarray],
+        num_classes: int,
+        input_size: int = 64,
+        stage_repeats=(4, 8, 4),
+    ):
+        self.sd = sd
+        self.num_classes = num_classes
+        self.input_size = input_size
+        self.stage_repeats = stage_repeats
+        self.nodes: List[Tuple[str, str, List[str], List[str], Dict]] = []
+        self.inits: Dict[str, np.ndarray] = {}
+
+    def _add(self, op, name, inputs, outputs, attrs=None) -> str:
+        self.nodes.append((op, name, list(inputs), list(outputs), attrs or {}))
+        return outputs[0]
+
+    def _const(self, name: str, arr: np.ndarray) -> str:
+        self.inits[name] = arr
+        return name
+
+    def _conv(
+        self, x: str, path: str, k: int, stride: int = 1,
+        act: bool = True, groups: int = 1,
+    ) -> str:
+        w = np.ascontiguousarray(self.sd[f"{path}.weight"], np.float32)
+        base = "/" + path
+        inputs = [x, self._const(f"{path}.weight", w)]
+        bias = self.sd.get(f"{path}.bias")
+        if bias is not None:
+            inputs.append(
+                self._const(
+                    f"{path}.bias", np.ascontiguousarray(bias, np.float32)
+                )
+            )
+        pad = k // 2
+        y = self._add(
+            "Conv", f"{base}/Conv", inputs, [f"{base}/Conv_output_0"],
+            {
+                "dilations": [1, 1], "group": groups, "kernel_shape": [k, k],
+                "pads": [pad, pad, pad, pad], "strides": [stride, stride],
+            },
+        )
+        if act:
+            y = self._add(
+                "Relu", f"{base}/Relu", [y], [f"{base}/Relu_output_0"]
+            )
+        return y
+
+    def _shuffle(self, x: str, prefix: str, c: int, hw: int) -> str:
+        """torchvision channel_shuffle: view (1, 2, c/2, h, w) ->
+        transpose(1, 2) -> flatten back."""
+        base = "/" + prefix
+        s1 = self._const(
+            f"{base}/shuffle_shape_0",
+            np.asarray([1, 2, c // 2, hw, hw], np.int64),
+        )
+        y = self._add(
+            "Reshape", f"{base}/shuffle/Reshape", [x, s1],
+            [f"{base}/shuffle/Reshape_output_0"],
+        )
+        y = self._add(
+            "Transpose", f"{base}/shuffle/Transpose", [y],
+            [f"{base}/shuffle/Transpose_output_0"],
+            {"perm": [0, 2, 1, 3, 4]},
+        )
+        s2 = self._const(
+            f"{base}/shuffle_shape_1",
+            np.asarray([1, c, hw, hw], np.int64),
+        )
+        return self._add(
+            "Reshape", f"{base}/shuffle/Reshape_1", [y, s2],
+            [f"{base}/shuffle/Reshape_1_output_0"],
+        )
+
+    def _unit(self, x: str, prefix: str, stride: int, hw: int) -> str:
+        def branch2(inp: str) -> str:
+            y = self._conv(inp, f"{prefix}.branch2.0", 1)
+            dw = self.sd[f"{prefix}.branch2.3.weight"].shape[0]
+            y = self._conv(
+                y, f"{prefix}.branch2.3", 3, stride=stride, act=False,
+                groups=dw,
+            )
+            return self._conv(y, f"{prefix}.branch2.5", 1)
+
+        base = "/" + prefix
+        if stride == 1:
+            c_half = self.sd[f"{prefix}.branch2.0.weight"].shape[1]
+            a, bhalf = f"{base}/Split_output_0", f"{base}/Split_output_1"
+            self._add(
+                "Split", f"{base}/Split", [x], [a, bhalf],
+                {"axis": 1, "split": [c_half, c_half]},
+            )
+            out_c = 2 * c_half
+            out = self._add(
+                "Concat", f"{base}/Concat", [a, branch2(bhalf)],
+                [f"{base}/Concat_output_0"], {"axis": 1},
+            )
+        else:
+            dw = self.sd[f"{prefix}.branch1.0.weight"].shape[0]
+            b1 = self._conv(
+                x, f"{prefix}.branch1.0", 3, stride=2, act=False, groups=dw
+            )
+            b1 = self._conv(b1, f"{prefix}.branch1.2", 1)
+            out_c = (
+                self.sd[f"{prefix}.branch1.2.weight"].shape[0]
+                + self.sd[f"{prefix}.branch2.5.weight"].shape[0]
+            )
+            out = self._add(
+                "Concat", f"{base}/Concat", [b1, branch2(x)],
+                [f"{base}/Concat_output_0"], {"axis": 1},
+            )
+        return self._shuffle(out, prefix, out_c, hw)
+
+    def build(self) -> None:
+        x = self._conv("images", "conv1.0", 3, 2)
+        x = self._add(
+            "MaxPool", "/maxpool/MaxPool", [x], ["/maxpool/MaxPool_output_0"],
+            {
+                "ceil_mode": 0, "dilations": [1, 1], "kernel_shape": [3, 3],
+                "pads": [1, 1, 1, 1], "strides": [2, 2],
+            },
+        )
+        hw = self.input_size // 4
+        for s, reps in zip((2, 3, 4), self.stage_repeats):
+            hw //= 2
+            x = self._unit(x, f"stage{s}.0", 2, hw)
+            for i in range(1, reps):
+                x = self._unit(x, f"stage{s}.{i}", 1, hw)
+        x = self._conv(x, "conv5.0", 1)
+        # torchvision forward ends x.mean([2, 3]) -> fc; the trace is
+        # ReduceMean(axes=[2,3], keepdims=0) -> Gemm(transB=1)
+        x = self._add(
+            "ReduceMean", "/ReduceMean", [x], ["/ReduceMean_output_0"],
+            {"axes": [2, 3], "keepdims": 0},
+        )
+        self._add(
+            "Gemm", "/fc/Gemm",
+            [
+                x,
+                self._const(
+                    "fc.weight",
+                    np.ascontiguousarray(self.sd["fc.weight"], np.float32),
+                ),
+                self._const(
+                    "fc.bias",
+                    np.ascontiguousarray(self.sd["fc.bias"], np.float32),
+                ),
+            ],
+            ["output0"], {"alpha": 1.0, "beta": 1.0, "transB": 1},
+        )
+
+
+def build_classifier_onnx(
+    arch: str,
+    sd: Mapping[str, np.ndarray],
+    num_classes: int,
+    input_size: int = 64,
+) -> bytes:
+    """Fused classifier state dict -> ONNX model bytes,
+    ``images`` (1,3,s,s) -> ``output0`` (1,nc) logits."""
+    if arch != "shufflenetv2":
+        raise ValueError(
+            f"ONNX classifier emission covers 'shufflenetv2' (the deployed "
+            f"choice); got {arch!r}"
+        )
+    em = _ShuffleNetV2OnnxEmitter(sd, num_classes, input_size)
+    em.build()
+    return onnx_model_bytes(
+        em.nodes, em.inits,
+        (1, 3, input_size, input_size), (1, num_classes),
+    )
+
+
+def export_classifier_onnx(
+    arch: str,
+    variables: Dict,
+    num_classes: int,
+    path: str,
+    input_size: int = 64,
+) -> bytes:
+    """Classifier sibling of :func:`export_detector_onnx` — rebuilds the
+    reference's torch->ONNX classifier export (convert-model-classify
+    .ipynb cell 3, the step its NCNN/OpenVINO classifier artifacts are
+    converted from).  ShuffleNetV2 (the deployed choice) is emitted."""
+    from litepi_tpu.weights.ncnn_export import shufflenetv2_fused_state_dict
+
+    if arch != "shufflenetv2":
+        raise ValueError(
+            f"ONNX classifier emission covers 'shufflenetv2' (the deployed "
+            f"choice); got {arch!r}"
+        )
+    sd = shufflenetv2_fused_state_dict(variables)
+    data = build_classifier_onnx(arch, sd, num_classes, input_size)
     with open(path, "wb") as f:
         f.write(data)
     return data

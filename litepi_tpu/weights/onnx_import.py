@@ -240,8 +240,9 @@ def run_onnx_graph(
     """Execute a graph on numpy feeds (NCHW, batch dim included),
     returning ``{output_name: array}`` for every produced blob.
 
-    Implements exactly the 14 op types the reference's detector exports
-    use; convolutions run through XLA on the host CPU (same trick as
+    Implements exactly the 17 op types the reference's detector exports
+    and the ShuffleNetV2 classifier emission use (incl. Relu/ReduceMean/
+    Gemm); convolutions run through XLA on the host CPU (same trick as
     :func:`litepi_tpu.weights.ncnn_import.run_ncnn_graph`, whose docstring
     explains why).  This is the execution oracle for both the REAL
     surviving ``yolo_plus.onnx`` and graphs emitted by
@@ -296,6 +297,27 @@ def run_onnx_graph(
             blobs[node.outputs[0]] = y
         elif op == "Sigmoid":
             blobs[node.outputs[0]] = 1.0 / (1.0 + np.exp(-get(node.inputs[0])))
+        elif op == "Relu":
+            blobs[node.outputs[0]] = np.maximum(get(node.inputs[0]), 0.0)
+        elif op == "ReduceMean":
+            x = get(node.inputs[0])
+            axes = node.attrs.get("axes")
+            if axes is None and len(node.inputs) > 1:  # opset>=18 form
+                axes = get(node.inputs[1]).tolist()
+            blobs[node.outputs[0]] = x.mean(
+                axis=tuple(int(a) for a in axes),
+                keepdims=bool(int(node.attrs.get("keepdims", 1))),
+            )
+        elif op == "Gemm":
+            a, b = get(node.inputs[0]), get(node.inputs[1])
+            if int(node.attrs.get("transA", 0)):
+                a = a.T
+            if int(node.attrs.get("transB", 0)):
+                b = b.T
+            y = float(node.attrs.get("alpha", 1.0)) * (a @ b)
+            if len(node.inputs) > 2:
+                y = y + float(node.attrs.get("beta", 1.0)) * get(node.inputs[2])
+            blobs[node.outputs[0]] = y
         elif op in ("Mul", "Add", "Sub", "Div"):
             a, b = get(node.inputs[0]), get(node.inputs[1])
             fn = {
@@ -443,3 +465,29 @@ def convert_classifier_onnx(
             "fused, initializers renamed). Re-export with "
             "do_constant_folding=False, or convert from the .pth instead."
         ) from e
+
+
+def convert_classifier_onnx_fused(src: Union[str, bytes, Dict[str, np.ndarray]]):
+    """Fused (deploy-form) ShuffleNetV2 ONNX -> (``ShuffleNetV2(fused=
+    True)`` variables, num_classes) — the ONNX sibling of
+    :func:`litepi_tpu.weights.ncnn_import.convert_classifier_ncnn`, which
+    :func:`litepi_tpu.weights.onnx_export.export_classifier_onnx` output
+    loads back through (biased convs keyed ``conv1.0.weight`` …, no BN
+    initializers)."""
+    from litepi_tpu.weights.ncnn_import import (
+        shufflenet_deploy_variables,
+        shufflenet_weighted_plan,
+    )
+
+    inits = src if isinstance(src, dict) else read_onnx_initializers(src)
+    missing = [
+        f"{tkey}.weight"
+        for tkey, _f, _t in shufflenet_weighted_plan()
+        if f"{tkey}.weight" not in inits
+    ]
+    if missing:
+        raise ValueError(
+            "ONNX graph is not a fused ShuffleNetV2 export: missing "
+            f"initializers {missing[:4]}"
+        )
+    return shufflenet_deploy_variables(inits)

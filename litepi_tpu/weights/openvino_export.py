@@ -173,9 +173,19 @@ class _IrEmitter:
             "opset4", None, [x], [(x.shape, "FP32")],
         )[0]
 
+    def _relu(self, x: _Value, path: str) -> _Value:
+        # torchvision ReLUs are separate modules (unlike the shared traced
+        # SiLU); no classifier IR survives upstream, so they are named
+        # after the conv they follow
+        return self._layer(
+            "ReLU", f"__module.{path}/aten::relu_/Relu", "opset1", None,
+            [x], [(x.shape, "FP32")],
+        )[0]
+
     def _conv(
         self, x: _Value, path: str, k: int, stride: int = 1,
         act: bool = True, pad: Optional[int] = None,
+        act_op: str = "Swish",
     ) -> _Value:
         stem = path if f"{path}.weight" in self.sd else f"{path}.conv"
         w = np.ascontiguousarray(self.sd[f"{stem}.weight"], np.float32)
@@ -207,9 +217,14 @@ class _IrEmitter:
                 "Add", f"{mod}/Add", "opset1", {"auto_broadcast": "numpy"},
                 [y, bc], [(y.shape, "FP32")],
             )[0]
-        return self._swish(y) if act else y
+        if not act:
+            return y
+        return self._relu(y, stem) if act_op == "ReLU" else self._swish(y)
 
-    def _dwconv(self, x: _Value, path: str, k: int, act: bool = True) -> _Value:
+    def _dwconv(
+        self, x: _Value, path: str, k: int, act: bool = True,
+        stride: int = 1, act_op: str = "Swish",
+    ) -> _Value:
         """Depthwise conv traced as GroupConvolution with the 5-D
         (g, out/g=1, in/g=1, k, k) grouped weight — an anonymous Const
         named ``…/aten::_convolution/Reshape`` because torch stores
@@ -218,18 +233,20 @@ class _IrEmitter:
         w = np.ascontiguousarray(self.sd[f"{stem}.weight"], np.float32)
         c = w.shape[0]
         pad = k // 2
+        h = (x.shape[2] + 2 * pad - k) // stride + 1
+        ww = (x.shape[3] + 2 * pad - k) // stride + 1
         mod = f"__module.{stem}/aten::_convolution"
         wc = self._const(f"{mod}/Reshape", w.reshape(c, 1, 1, k, k))
         y = self._layer(
             "GroupConvolution", f"{mod}/GroupConvolution", "opset1",
             {
-                "strides": "1, 1",
+                "strides": f"{stride}, {stride}",
                 "pads_begin": f"{pad}, {pad}",
                 "pads_end": f"{pad}, {pad}",
                 "dilations": "1, 1",
                 "auto_pad": "explicit",
             },
-            [x, wc], [((1, c, x.shape[2], x.shape[3]), "FP32")],
+            [x, wc], [((1, c, h, ww), "FP32")],
         )[0]
         bias = self.sd.get(f"{stem}.bias")
         if bias is not None:
@@ -241,7 +258,9 @@ class _IrEmitter:
                 "Add", f"{mod}/Add", "opset1", {"auto_broadcast": "numpy"},
                 [y, bc], [(y.shape, "FP32")],
             )[0]
-        return self._swish(y) if act else y
+        if not act:
+            return y
+        return self._relu(y, stem) if act_op == "ReLU" else self._swish(y)
 
     def _maxpool(self, x: _Value, name: str) -> _Value:
         return self._layer(
@@ -848,6 +867,132 @@ class _V11IrEmitter(_IrEmitter):
         )
 
 
+class _ShuffleNetV2IrEmitter(_IrEmitter):
+    """ShuffleNetV2 x1.0 — the deployed classifier, which the reference
+    also ships as OpenVINO IR (convert-model-classify.ipynb cell 17
+    evaluates the IR form; no classifier artifact survives the blob
+    strip, so the vocabulary is the fused eval-mode trace — Convolution/
+    GroupConvolution + Add + ReLU, MaxPool k3 s2, VariadicSplit halves,
+    the 5-D Reshape/Transpose/Reshape channel shuffle, ReduceMean spatial
+    mean, MatMul(transpose_b) fc — and validation is interpreter forward
+    parity + re-ingestion)."""
+
+    def __init__(
+        self,
+        sd: Mapping[str, np.ndarray],
+        num_classes: int,
+        input_size: int = 64,
+        stage_repeats=(4, 8, 4),
+    ):
+        super().__init__(sd)
+        self.num_classes = num_classes
+        self.input_size = input_size
+        self.stage_repeats = stage_repeats
+
+    def _shuffle(self, x: _Value, prefix: str) -> _Value:
+        c, hw = x.shape[1], x.shape[2]
+        mod = f"__module.{prefix}"
+        s1 = self._anon_const(np.asarray([1, 2, c // 2, hw, hw], np.int64))
+        y = self._layer(
+            "Reshape", f"{mod}/aten::view/Reshape", "opset1",
+            {"special_zero": "false"}, [x, s1],
+            [((1, 2, c // 2, hw, hw), "FP32")],
+        )[0]
+        perm = self._const(
+            f"{mod}/aten::transpose/Constant",
+            np.asarray([0, 2, 1, 3, 4], np.int32),
+        )
+        y = self._layer(
+            "Transpose", f"{mod}/aten::transpose/Transpose", "opset1",
+            None, [y, perm], [((1, c // 2, 2, hw, hw), "FP32")],
+        )[0]
+        s2 = self._anon_const(np.asarray([1, c, hw, hw], np.int64))
+        return self._layer(
+            "Reshape", f"{mod}/aten::view/Reshape_1", "opset1",
+            {"special_zero": "false"}, [y, s2],
+            [((1, c, hw, hw), "FP32")],
+        )[0]
+
+    def _unit(self, x: _Value, prefix: str, stride: int) -> _Value:
+        def branch2(inp: _Value) -> _Value:
+            y = self._conv(inp, f"{prefix}.branch2.0", 1, act_op="ReLU")
+            y = self._dwconv(
+                y, f"{prefix}.branch2.3", 3, act=False, stride=stride
+            )
+            return self._conv(y, f"{prefix}.branch2.5", 1, act_op="ReLU")
+
+        if stride == 1:
+            c_half = self.sd[f"{prefix}.branch2.0.weight"].shape[1]
+            axis = self._const(str(self._next_tensor_id()), np.int64(1))
+            sizes = self._anon_const(np.asarray([c_half, c_half], np.int64))
+            half_shape = (1, c_half, x.shape[2], x.shape[3])
+            a, bhalf = self._layer(
+                "VariadicSplit",
+                f"__module.{prefix}/aten::chunk/VariadicSplit",
+                "opset1", None, [x, axis, sizes],
+                [(half_shape, "FP32"), (half_shape, "FP32")],
+            )
+            out = self._concat(
+                f"__module.{prefix}/aten::cat/Concat", [a, branch2(bhalf)]
+            )
+        else:
+            b1 = self._dwconv(x, f"{prefix}.branch1.0", 3, act=False, stride=2)
+            b1 = self._conv(b1, f"{prefix}.branch1.2", 1, act_op="ReLU")
+            out = self._concat(
+                f"__module.{prefix}/aten::cat/Concat", [b1, branch2(x)]
+            )
+        return self._shuffle(out, prefix)
+
+    def build(self) -> None:
+        x = self._parameter(self.input_size)
+        x = self._conv(x, "conv1.0", 3, 2, act_op="ReLU")
+        hs = (x.shape[2] + 2 - 3) // 2 + 1
+        x = self._layer(
+            "MaxPool", "__module.maxpool/aten::max_pool2d/MaxPool",
+            "opset14",
+            {
+                "strides": "2, 2", "dilations": "1, 1",
+                "pads_begin": "1, 1", "pads_end": "1, 1",
+                "kernel": "3, 3", "rounding_type": "floor",
+                "auto_pad": "explicit", "index_element_type": "i64",
+                "axis": "2",
+            },
+            [x], [((1, x.shape[1], hs, hs), "FP32"),
+                  ((1, x.shape[1], hs, hs), "I64")],
+        )[0]
+        for s, reps in zip((2, 3, 4), self.stage_repeats):
+            x = self._unit(x, f"stage{s}.0", 2)
+            for i in range(1, reps):
+                x = self._unit(x, f"stage{s}.{i}", 1)
+        x = self._conv(x, "conv5.0", 1, act_op="ReLU")
+        # torchvision forward ends x.mean([2, 3]) -> fc
+        axes = self._anon_const(np.asarray([2, 3], np.int64))
+        x = self._layer(
+            "ReduceMean", "__module/aten::mean/ReduceMean", "opset1",
+            {"keep_dims": "false"}, [x, axes],
+            [((1, x.shape[1]), "FP32")],
+        )[0]
+        w = np.ascontiguousarray(self.sd["fc.weight"], np.float32)
+        wc = self._const("self.fc.weight", w, port_name="self.fc.weight")
+        y = self._layer(
+            "MatMul", "__module.fc/aten::linear/MatMul", "opset1",
+            {"transpose_a": "false", "transpose_b": "true"},
+            [x, wc], [((1, self.num_classes), "FP32")],
+        )[0]
+        bc = self._const(
+            "__module.fc/aten::linear/Add",
+            np.ascontiguousarray(self.sd["fc.bias"], np.float32).reshape(
+                1, -1
+            ),
+        )
+        y = self._layer(
+            "Add", "__module.fc/aten::linear/Add_1", "opset1",
+            {"auto_broadcast": "numpy"}, [y, bc],
+            [((1, self.num_classes), "FP32")],
+        )[0]
+        self._layer("Result", "Result_0", "opset1", None, [y], [])
+
+
 # --------------------------------------------------------------------------- #
 # serialization + public entry points
 # --------------------------------------------------------------------------- #
@@ -997,5 +1142,48 @@ def export_detector_openvino_variant(
         )
     sd = builders[variant](variables)
     xml_data, bin_data = build_variant_ir(variant, sd, num_classes, input_size)
+    _write_ir_pair(xml_data, bin_data, xml_path, bin_path)
+    return xml_data, bin_data
+
+
+def build_classifier_ir(
+    arch: str,
+    sd: Mapping[str, np.ndarray],
+    num_classes: int,
+    input_size: int = 64,
+) -> Tuple[bytes, bytes]:
+    """Fused classifier state dict -> IR pair, ``x`` (1,3,s,s) ->
+    (1, nc) logits."""
+    if arch != "shufflenetv2":
+        raise ValueError(
+            f"OpenVINO classifier emission covers 'shufflenetv2' (the "
+            f"deployed choice); got {arch!r}"
+        )
+    em = _ShuffleNetV2IrEmitter(sd, num_classes, input_size)
+    em.build()
+    return ir_xml_bytes(em.layers, em.edges, name=arch), bytes(em.blob)
+
+
+def export_classifier_openvino(
+    arch: str,
+    variables: Dict,
+    num_classes: int,
+    xml_path: str,
+    bin_path: Optional[str] = None,
+    input_size: int = 64,
+) -> Tuple[bytes, bytes]:
+    """Classifier sibling of :func:`export_detector_openvino` — rebuilds
+    the reference's OpenVINO classifier export (convert-model-classify
+    .ipynb cell 17 evaluates this form).  ShuffleNetV2 (the deployed
+    choice) is emitted."""
+    from litepi_tpu.weights.ncnn_export import shufflenetv2_fused_state_dict
+
+    if arch != "shufflenetv2":
+        raise ValueError(
+            f"OpenVINO classifier emission covers 'shufflenetv2' (the "
+            f"deployed choice); got {arch!r}"
+        )
+    sd = shufflenetv2_fused_state_dict(variables)
+    xml_data, bin_data = build_classifier_ir(arch, sd, num_classes, input_size)
     _write_ir_pair(xml_data, bin_data, xml_path, bin_path)
     return xml_data, bin_data

@@ -490,6 +490,12 @@ def run_ir_graph(
         elif t == "Swish":
             x_ = ins[0]
             values[(lid, out_port)] = x_ / (1.0 + np.exp(-x_))
+        elif t == "ReLU":
+            values[(lid, out_port)] = np.maximum(ins[0], 0.0)
+        elif t == "ReduceMean":
+            keep = layer.data.get("keep_dims", "true") == "true"
+            axes = tuple(int(a) for a in np.asarray(ins[1]).reshape(-1))
+            values[(lid, out_port)] = ins[0].mean(axis=axes, keepdims=keep)
         elif t == "Sigmoid":
             values[(lid, out_port)] = 1.0 / (1.0 + np.exp(-ins[0]))
         elif t == "SoftMax":
@@ -601,3 +607,81 @@ def convert_detector_openvino_variant(
     )
     sd = defuse_state_dict(openvino_state_dict(xml_path, bin_path, graph=graph))
     return variant_state_converter(variant)(sd)
+
+
+def convert_classifier_openvino_fused(
+    xml_path: str, bin_path: str, graph: Optional[IrGraph] = None
+):
+    """Fused (deploy-form) ShuffleNetV2 IR -> (``ShuffleNetV2(fused=
+    True)`` variables, num_classes) — the OpenVINO sibling of
+    :func:`litepi_tpu.weights.ncnn_import.convert_classifier_ncnn`, which
+    :func:`litepi_tpu.weights.openvino_export.export_classifier_openvino`
+    output loads back through.  Regular conv weights are named Consts
+    (``self.conv1.0.weight`` …); depthwise weights are anonymous 5-D
+    grouped Consts reached through their GroupConvolution; biases are the
+    Add-consumer Consts; the fc is a MatMul(transpose_b) + Add pair."""
+    from litepi_tpu.weights.ncnn_import import (
+        shufflenet_deploy_variables,
+        shufflenet_weighted_plan,
+    )
+
+    g = graph if graph is not None else parse_openvino_xml(xml_path)
+    blob = open(bin_path, "rb").read()
+    sd: Dict[str, np.ndarray] = {}
+    for layer in g.layers.values():
+        if layer.type == "Const" and layer.name.startswith("self."):
+            arr = _const_array(layer, blob)
+            if arr.dtype == np.float16:
+                arr = arr.astype(np.float32)
+            sd[layer.name[len("self.") :]] = arr
+    for layer in g.layers.values():
+        if layer.type not in ("Convolution", "GroupConvolution", "MatMul"):
+            continue
+        path = _module_path(layer.name)
+        if path is None:
+            continue
+        if path.endswith(".conv"):  # torch-trace '<module>.conv' suffix
+            path = path[: -len(".conv")]
+        if layer.type == "GroupConvolution":
+            w = g.producers.get((layer.id, 1))
+            if w is not None and g.layers[w].type == "Convert":
+                w = g.producers.get((w, 0))
+            if w is not None and g.layers[w].type == "Const":
+                arr = _const_array(g.layers[w], blob)
+                if arr.dtype == np.float16:
+                    arr = arr.astype(np.float32)
+                if arr.ndim == 5:
+                    arr = arr.reshape(
+                        arr.shape[0] * arr.shape[1], *arr.shape[2:]
+                    )
+                sd[f"{path}.weight"] = arr
+        for to_layer, to_port in g.consumers.get(layer.id, []):
+            consumer = g.layers[to_layer]
+            if consumer.type != "Add":
+                continue
+            other = g.producers.get((to_layer, 1 - to_port))
+            if other is not None and g.layers[other].type == "Convert":
+                other = g.producers.get((other, 0))
+            if other is None or g.layers[other].type != "Const":
+                continue
+            bias = _const_array(g.layers[other], blob)
+            is_conv_bias = (
+                bias.ndim == 4 and bias.shape[0] == 1
+                and bias.shape[2:] == (1, 1)
+            )
+            is_fc_bias = layer.type == "MatMul" and bias.ndim == 2
+            if is_conv_bias or is_fc_bias:
+                if bias.dtype == np.float16:
+                    bias = bias.astype(np.float32)
+                sd[f"{path}.bias"] = bias.reshape(-1)
+    missing = [
+        f"{tkey}.weight"
+        for tkey, _f, _t in shufflenet_weighted_plan()
+        if f"{tkey}.weight" not in sd
+    ]
+    if missing:
+        raise ValueError(
+            "OpenVINO IR is not a fused ShuffleNetV2 export: missing "
+            f"weights {missing[:4]}"
+        )
+    return shufflenet_deploy_variables(sd)

@@ -210,3 +210,128 @@ def test_convert_cli_emit_onnx(tmp_path):
         ]
     )
     assert rc == 2
+
+
+# --------------------------------------------------------------------------- #
+# classifier emission (ShuffleNetV2)
+# --------------------------------------------------------------------------- #
+
+
+def _shufflenet_vars(num_classes=7, seed=0):
+    import jax
+
+    from litepi_tpu.models import build_classifier
+
+    model = build_classifier("shufflenetv2", num_classes)
+    variables = model.init(
+        jax.random.PRNGKey(seed), np.zeros((1, 64, 64, 3), np.float32),
+        train=False,
+    )
+    return model, variables
+
+
+def test_emitted_shufflenet_onnx_runs_like_flax_model():
+    """No classifier ONNX survives upstream, so validation is forward
+    parity: the emitted graph (grouped depthwise Convs, Split halves,
+    Reshape/Transpose/Reshape channel shuffle, ReduceMean, Gemm) through
+    the interpreter equals the Flax model's logits."""
+    import jax.numpy as jnp
+
+    from litepi_tpu.weights.ncnn_export import shufflenetv2_fused_state_dict
+    from litepi_tpu.weights.onnx_export import build_classifier_onnx
+    from litepi_tpu.weights.onnx_import import read_onnx_graph, run_onnx_graph
+
+    model, variables = _shufflenet_vars(7)
+    sd = shufflenetv2_fused_state_dict(variables)
+    data = build_classifier_onnx("shufflenetv2", sd, 7)
+    nodes, inits, _ins, _outs = read_onnx_graph(data)
+
+    rng = np.random.RandomState(11)
+    img = rng.rand(1, 3, 64, 64).astype(np.float32)
+    out_graph = run_onnx_graph(nodes, inits, {"images": img})["output0"][0]
+
+    ours = np.asarray(
+        model.apply(
+            variables, jnp.asarray(img[0].transpose(1, 2, 0))[None],
+            train=False,
+        )
+    )[0]
+    assert out_graph.shape == ours.shape == (7,)
+    np.testing.assert_allclose(out_graph, ours, atol=1e-4)
+
+
+def test_classifier_onnx_export_reingest_roundtrip(tmp_path):
+    """emit -> convert_classifier_onnx_fused -> ShuffleNetV2(fused=True)
+    forward equals the source model's (fp32 weights bit-exact through the
+    protobuf wire)."""
+    import jax.numpy as jnp
+
+    from litepi_tpu.models import build_classifier
+    from litepi_tpu.weights.onnx_export import export_classifier_onnx
+    from litepi_tpu.weights.onnx_import import convert_classifier_onnx_fused
+
+    model, variables = _shufflenet_vars(9, seed=3)
+    path = tmp_path / "clf.onnx"
+    export_classifier_onnx("shufflenetv2", variables, 9, str(path))
+    fused_vars, ncls = convert_classifier_onnx_fused(str(path))
+    assert ncls == 9
+    fused_model = build_classifier("shufflenetv2", 9, fused=True)
+    x = jnp.asarray(
+        np.random.RandomState(4).rand(2, 64, 64, 3).astype(np.float32)
+    )
+    o1 = np.asarray(model.apply(variables, x, train=False))
+    o2 = np.asarray(fused_model.apply(fused_vars, x, train=False))
+    np.testing.assert_allclose(o2, o1, atol=1e-4)
+
+
+def test_convert_cli_emit_onnx_classifier(tmp_path):
+    import jax
+
+    from litepi_tpu.apps.convert import main as convert_main
+    from litepi_tpu.weights.checkpoint import save_checkpoint
+    from litepi_tpu.weights.onnx_import import convert_classifier_onnx_fused
+
+    _, variables = _shufflenet_vars(5, seed=1)
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), variables)
+    out = tmp_path / "clf.onnx"
+    rc = convert_main(
+        [
+            "--arch", "shufflenetv2", "--num_classes", "5",
+            "--input", str(ckpt), "--output", str(out), "--emit", "onnx",
+        ]
+    )
+    assert rc == 0
+    _, ncls = convert_classifier_onnx_fused(str(out))
+    assert ncls == 5
+    # other classifier archs are rejected with guidance
+    rc = convert_main(
+        [
+            "--arch", "resnet18", "--num_classes", "5",
+            "--input", str(ckpt), "--output", str(out), "--emit", "onnx",
+        ]
+    )
+    assert rc == 2
+
+
+def test_export_classifier_onnx_rejects_other_archs(tmp_path):
+    from litepi_tpu.weights.onnx_export import export_classifier_onnx
+
+    _, variables = _shufflenet_vars(5)
+    with pytest.raises(ValueError, match="shufflenetv2"):
+        export_classifier_onnx(
+            "resnet18", variables, 5, str(tmp_path / "x.onnx")
+        )
+
+
+def test_convert_classifier_onnx_fused_rejects_detector_graph():
+    from tests.test_ncnn_export import _flax_fused_sd
+
+    from litepi_tpu.core.types import YOLO_PLUS_V2
+    from litepi_tpu.weights.onnx_export import build_detector_onnx
+    from litepi_tpu.weights.onnx_import import convert_classifier_onnx_fused
+
+    sd, _ = _flax_fused_sd(YOLO_PLUS_V2)
+    data = build_detector_onnx(YOLO_PLUS_V2, sd)
+    with pytest.raises(ValueError, match="ShuffleNetV2"):
+        convert_classifier_onnx_fused(data)

@@ -518,3 +518,133 @@ def test_convert_cli_emit_openvino_variant(tmp_path):
         str(out / "model.xml"), str(out / "model.bin"), "yolov5nu"
     )
     assert v2 is not None
+
+
+# --------------------------------------------------------------------------- #
+# classifier emission (ShuffleNetV2)
+# --------------------------------------------------------------------------- #
+
+
+def _shufflenet_vars(num_classes=7, seed=0):
+    import jax
+
+    from litepi_tpu.models import build_classifier
+
+    model = build_classifier("shufflenetv2", num_classes)
+    variables = model.init(
+        jax.random.PRNGKey(seed), np.zeros((1, 64, 64, 3), np.float32),
+        train=False,
+    )
+    return model, variables
+
+
+def test_emitted_shufflenet_ir_runs_like_flax_model(tmp_path):
+    """No classifier IR survives upstream, so validation is forward
+    parity: the emitted IR (GroupConvolution depthwise branches,
+    VariadicSplit halves, the 5-D Reshape/Transpose/Reshape channel
+    shuffle, ReduceMean, MatMul fc) through run_ir_graph equals the Flax
+    model's logits."""
+    import jax.numpy as jnp
+
+    from litepi_tpu.weights.ncnn_export import shufflenetv2_fused_state_dict
+    from litepi_tpu.weights.openvino_export import build_classifier_ir
+    from litepi_tpu.weights.openvino_import import run_ir_graph
+
+    model, variables = _shufflenet_vars(7)
+    sd = shufflenetv2_fused_state_dict(variables)
+    xml_data, bin_data = build_classifier_ir("shufflenetv2", sd, 7)
+    xml_p = tmp_path / "clf.xml"
+    xml_p.write_bytes(xml_data)
+
+    rng = np.random.RandomState(13)
+    img = rng.rand(1, 3, 64, 64).astype(np.float32)
+    out_graph = run_ir_graph(str(xml_p), bin_data, img)[0]
+
+    ours = np.asarray(
+        model.apply(
+            variables, jnp.asarray(img[0].transpose(1, 2, 0))[None],
+            train=False,
+        )
+    )[0]
+    assert out_graph.shape == ours.shape == (7,)
+    np.testing.assert_allclose(out_graph, ours, atol=1e-4)
+
+
+def test_classifier_ir_export_reingest_roundtrip(tmp_path):
+    """emit -> convert_classifier_openvino_fused -> ShuffleNetV2(fused=
+    True) forward equals the source model's."""
+    import jax.numpy as jnp
+
+    from litepi_tpu.models import build_classifier
+    from litepi_tpu.weights.openvino_export import export_classifier_openvino
+    from litepi_tpu.weights.openvino_import import (
+        convert_classifier_openvino_fused,
+    )
+
+    model, variables = _shufflenet_vars(9, seed=3)
+    xml_p = tmp_path / "clf.xml"
+    export_classifier_openvino("shufflenetv2", variables, 9, str(xml_p))
+    fused_vars, ncls = convert_classifier_openvino_fused(
+        str(xml_p), str(tmp_path / "clf.bin")
+    )
+    assert ncls == 9
+    fused_model = build_classifier("shufflenetv2", 9, fused=True)
+    x = jnp.asarray(
+        np.random.RandomState(4).rand(2, 64, 64, 3).astype(np.float32)
+    )
+    o1 = np.asarray(model.apply(variables, x, train=False))
+    o2 = np.asarray(fused_model.apply(fused_vars, x, train=False))
+    np.testing.assert_allclose(o2, o1, atol=1e-4)
+
+
+def test_convert_cli_emit_openvino_classifier(tmp_path):
+    from litepi_tpu.apps.convert import main as convert_main
+    from litepi_tpu.weights.checkpoint import save_checkpoint
+    from litepi_tpu.weights.openvino_import import (
+        convert_classifier_openvino_fused,
+    )
+
+    _, variables = _shufflenet_vars(5, seed=1)
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), variables)
+    out = tmp_path / "export"
+    rc = convert_main(
+        [
+            "--arch", "shufflenetv2", "--num_classes", "5",
+            "--input", str(ckpt), "--output", str(out),
+            "--emit", "openvino",
+        ]
+    )
+    assert rc == 0
+    _, ncls = convert_classifier_openvino_fused(
+        str(out / "model.xml"), str(out / "model.bin")
+    )
+    assert ncls == 5
+    # other classifier archs keep the pointed rejection
+    rc = convert_main(
+        [
+            "--arch", "resnet18", "--num_classes", "5",
+            "--input", str(ckpt), "--output", str(out),
+            "--emit", "openvino",
+        ]
+    )
+    assert rc == 2
+
+
+def test_classifier_ir_converter_rejects_detector_ir(tmp_path):
+    from tests.test_ncnn_export import _flax_fused_sd
+
+    from litepi_tpu.core.types import YOLO_PLUS_V2
+    from litepi_tpu.weights.openvino_export import build_detector_ir
+    from litepi_tpu.weights.openvino_import import (
+        convert_classifier_openvino_fused,
+    )
+
+    sd, _ = _flax_fused_sd(YOLO_PLUS_V2)
+    xml_data, bin_data = build_detector_ir(YOLO_PLUS_V2, sd)
+    xml_p = tmp_path / "det.xml"
+    xml_p.write_bytes(xml_data)
+    bin_p = tmp_path / "det.bin"
+    bin_p.write_bytes(bin_data)
+    with pytest.raises(ValueError, match="ShuffleNetV2"):
+        convert_classifier_openvino_fused(str(xml_p), str(bin_p))
