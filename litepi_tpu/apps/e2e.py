@@ -69,8 +69,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--classifier", default=None,
-        help="orbax dir, torch .pth, or NCNN .param (+ sibling .bin; "
-        "shufflenetv2 canonical emission)",
+        help="orbax dir, torch .pth, NCNN .param (+ sibling .bin), "
+        "classifier .onnx, or OpenVINO .xml (+ sibling .bin) — every "
+        "form the reference deploys its second stage in",
     )
     p.add_argument(
         "--clf_arch",
@@ -485,6 +486,71 @@ def main(argv=None) -> int:
             cls_vars, ncls = convert_classifier_ncnn(
                 args.classifier,
                 args.classifier[: -len(".param")] + ".bin",
+            )
+        except (OSError, ValueError) as e:
+            print(f"error: --classifier: {e}", file=sys.stderr)
+            return 2
+        if ncls != args.num_classes:
+            print(
+                f"error: --classifier graph has {ncls} classes, "
+                f"--num_classes says {args.num_classes}",
+                file=sys.stderr,
+            )
+            return 2
+    elif args.classifier and args.classifier.endswith(".onnx"):
+        # the reference's interchange form (convert-model-classify.ipynb
+        # cell 3 exports torch->ONNX first); a fused emission re-ingests
+        # as deploy-form, a name-preserving torch export maps by name
+        from litepi_tpu.weights.onnx_import import (
+            convert_classifier_onnx,
+            convert_classifier_onnx_fused,
+        )
+
+        try:
+            if args.clf_arch == "shufflenetv2":
+                try:
+                    cls_vars, ncls = convert_classifier_onnx_fused(
+                        args.classifier
+                    )
+                except ValueError:
+                    cls_vars, ncls = (
+                        convert_classifier_onnx(
+                            args.clf_arch, args.classifier
+                        ),
+                        None,
+                    )
+            else:
+                cls_vars, ncls = (
+                    convert_classifier_onnx(args.clf_arch, args.classifier),
+                    None,
+                )
+        except (OSError, ValueError, KeyError) as e:
+            print(f"error: --classifier: {e}", file=sys.stderr)
+            return 2
+        if ncls is not None and ncls != args.num_classes:
+            print(
+                f"error: --classifier graph has {ncls} classes, "
+                f"--num_classes says {args.num_classes}",
+                file=sys.stderr,
+            )
+            return 2
+    elif args.classifier and args.classifier.endswith(".xml"):
+        # OpenVINO classifier IR — the reference's vntsr optimizer loads
+        # this form (runner.py:229 BaselineClassifier via compile_model)
+        from litepi_tpu.weights.openvino_import import (
+            convert_classifier_openvino_fused,
+        )
+
+        if args.clf_arch != "shufflenetv2":
+            print(
+                "error: --classifier .xml covers shufflenetv2 (the "
+                "deployed classifier); convert other archs from .pth",
+                file=sys.stderr,
+            )
+            return 2
+        try:
+            cls_vars, ncls = convert_classifier_openvino_fused(
+                args.classifier, args.classifier[: -len(".xml")] + ".bin"
             )
         except (OSError, ValueError) as e:
             print(f"error: --classifier: {e}", file=sys.stderr)

@@ -411,3 +411,67 @@ def test_cli_classifier_param_class_mismatch(synth_dataset, tmp_path, capsys):
     )
     assert rc == 2
     assert "7 classes" in capsys.readouterr().err
+
+
+def test_cli_loads_emitted_classifier_onnx_and_xml(synth_dataset, tmp_path):
+    """The other two classifier wire formats load through the CLI too:
+    --classifier foo.onnx (the reference's interchange form) and foo.xml
+    (runner.py:229 BaselineClassifier's OpenVINO form)."""
+    import jax
+
+    from litepi_tpu.apps.e2e import main
+    from litepi_tpu.models import build_classifier
+    from litepi_tpu.weights.onnx_export import export_classifier_onnx
+    from litepi_tpu.weights.openvino_export import export_classifier_openvino
+
+    img_dir, lbl_dir = synth_dataset
+    model = build_classifier("shufflenetv2", 3)
+    variables = model.init(
+        jax.random.PRNGKey(2), np.zeros((1, 64, 64, 3), np.float32),
+        train=False,
+    )
+    onnx_p = tmp_path / "clf.onnx"
+    export_classifier_onnx("shufflenetv2", variables, 3, str(onnx_p))
+    xml_p = tmp_path / "clf.xml"
+    export_classifier_openvino("shufflenetv2", variables, 3, str(xml_p))
+    common = [
+        "--input", str(img_dir), "--labels", str(lbl_dir),
+        "--num_classes", "3", "--det_input_size", "160",
+        "--num_samples", "2", "--device", "cpu",
+        "--warmup", "0", "--batch_size", "2", "--max_det", "8",
+        "--eval_max_candidates", "64", "--eval_max_det", "16",
+    ]
+    for i, clf in enumerate([onnx_p, xml_p]):
+        out = tmp_path / f"out{i}"
+        rc = main(common + ["--classifier", str(clf), "--output", str(out)])
+        assert rc == 0
+        rows = list(csv.reader(open(out / "comparison_summary.csv")))
+        assert rows[1][0].endswith("+shufflenetv2")
+
+
+def test_cli_classifier_xml_class_mismatch(synth_dataset, tmp_path, capsys):
+    import jax
+
+    from litepi_tpu.apps.e2e import main
+    from litepi_tpu.models import build_classifier
+    from litepi_tpu.weights.openvino_export import export_classifier_openvino
+
+    img_dir, lbl_dir = synth_dataset
+    model = build_classifier("shufflenetv2", 7)
+    variables = model.init(
+        jax.random.PRNGKey(2), np.zeros((1, 64, 64, 3), np.float32),
+        train=False,
+    )
+    xml_p = tmp_path / "clf.xml"
+    export_classifier_openvino("shufflenetv2", variables, 7, str(xml_p))
+    rc = main(
+        [
+            "--input", str(img_dir), "--labels", str(lbl_dir),
+            "--classifier", str(xml_p),
+            "--num_classes", "3", "--det_input_size", "160",
+            "--num_samples", "1", "--output", str(tmp_path / "o"),
+            "--device", "cpu",
+        ]
+    )
+    assert rc == 2
+    assert "7 classes" in capsys.readouterr().err
