@@ -322,16 +322,91 @@ def main(argv=None) -> int:
     )
 
     det_model = YoloLitePi(cfg.detector, dtype=jnp.bfloat16)
-    det_vars = (
-        load_checkpoint(args.detector)
-        if args.detector
-        else fast_init(det_model, seed=0)
-    )
+    det = args.detector
+    # the reference's multi-mode app runs an exported detector graph
+    # directly (full_appv3.py:68 YOLOv8ONNX); accept the same artifact
+    # forms the e2e CLI does, checked against --detector_variant
+    try:
+        if det and det.endswith(".onnx"):
+            from litepi_tpu.weights.onnx_import import convert_detector_onnx
+
+            det_vars = convert_detector_onnx(det, det_cfg.depths)
+        elif det and det.endswith(".param"):
+            from litepi_tpu.weights.ncnn_import import convert_detector_ncnn
+
+            det_vars, _ = convert_detector_ncnn(
+                det, det[: -len(".param")] + ".bin", det_cfg
+            )
+        elif det and det.endswith(".xml"):
+            from litepi_tpu.weights.openvino_import import (
+                convert_detector_openvino,
+            )
+
+            det_vars, _ = convert_detector_openvino(
+                det, det[: -len(".xml")] + ".bin", det_cfg
+            )
+        elif det and det.endswith((".pt", ".pth")):
+            from litepi_tpu.weights.onnx_import import defuse_state_dict
+            from litepi_tpu.weights.torch_import import (
+                convert_detector_state_dict,
+            )
+
+            det_vars = convert_detector_state_dict(
+                defuse_state_dict(load_torch_state_dict(det)),
+                det_cfg.depths,
+            )
+        elif det:
+            det_vars = load_checkpoint(det)
+        else:
+            det_vars = fast_init(det_model, seed=0)
+    except (OSError, ValueError, KeyError) as e:
+        print(f"error: --detector: {e}", file=sys.stderr)
+        return 2
     cls_model = build_classifier(args.clf_arch, args.num_classes, dtype=jnp.bfloat16)
     if args.classifier and args.classifier.endswith((".pth", ".pt")):
         cls_vars = convert_classifier_state_dict(
             args.clf_arch, load_torch_state_dict(args.classifier)
         )
+    elif args.classifier and args.classifier.endswith(
+        (".param", ".onnx", ".xml")
+    ):
+        # graph-form classifiers are the canonical ShuffleNetV2 emission
+        # (deploy form; the pipeline recognises the folded variables)
+        if args.clf_arch != "shufflenetv2":
+            print(
+                "error: graph-form --classifier covers shufflenetv2 (the "
+                "deployed classifier); convert other archs from .pth",
+                file=sys.stderr,
+            )
+            return 2
+        try:
+            if args.classifier.endswith(".param"):
+                from litepi_tpu.weights.ncnn_import import (
+                    convert_classifier_ncnn,
+                )
+
+                cls_vars, _ = convert_classifier_ncnn(
+                    args.classifier,
+                    args.classifier[: -len(".param")] + ".bin",
+                )
+            elif args.classifier.endswith(".onnx"):
+                from litepi_tpu.weights.onnx_import import (
+                    convert_classifier_onnx_fused,
+                )
+
+                cls_vars, _ = convert_classifier_onnx_fused(args.classifier)
+            else:
+                from litepi_tpu.weights.openvino_import import (
+                    convert_classifier_openvino_fused,
+                )
+
+                cls_vars, _ = convert_classifier_openvino_fused(
+                    args.classifier,
+                    args.classifier[: -len(".xml")] + ".bin",
+                )
+        except (OSError, ValueError) as e:
+            print(f"error: --classifier: {e}", file=sys.stderr)
+            return 2
     elif args.classifier:
         cls_vars = load_checkpoint(args.classifier)
     else:

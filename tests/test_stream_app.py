@@ -143,3 +143,64 @@ def test_camera_mode_unopenable(monkeypatch):
 
     monkeypatch.setattr(cv2, "VideoCapture", Closed)
     assert main(["--mode", "camera"] + COMMON) == 2
+
+
+def test_single_mode_with_graph_artifacts(tmp_path):
+    """The stream app runs exported graphs directly — the reference's
+    full_appv3 pattern (ONNX detector :68, classifier sidecar): --detector
+    foo.onnx + --classifier foo.xml load through the ingestion paths."""
+    import cv2
+    import jax
+
+    from litepi_tpu.apps.stream import main
+    from litepi_tpu.core.types import YOLO_PLUS_V2
+    from litepi_tpu.models import YoloLitePi, build_classifier
+    from litepi_tpu.weights.onnx_export import export_detector_onnx
+    from litepi_tpu.weights.openvino_export import export_classifier_openvino
+
+    det_model = YoloLitePi(YOLO_PLUS_V2)
+    det_vars = det_model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32),
+        train=False,
+    )
+    onnx_p = tmp_path / "det.onnx"
+    export_detector_onnx(det_vars, YOLO_PLUS_V2, str(onnx_p))
+
+    clf = build_classifier("shufflenetv2", 3)
+    clf_vars = clf.init(
+        jax.random.PRNGKey(1), np.zeros((1, 64, 64, 3), np.float32),
+        train=False,
+    )
+    xml_p = tmp_path / "clf.xml"
+    export_classifier_openvino("shufflenetv2", clf_vars, 3, str(xml_p))
+
+    img_path = str(tmp_path / "one.jpg")
+    cv2.imwrite(
+        img_path,
+        np.random.default_rng(2).integers(0, 255, (200, 320, 3), np.uint8),
+    )
+    out_path = str(tmp_path / "annotated.jpg")
+    rc = main(
+        ["--mode", "single", "--input", img_path, "--save_image", out_path,
+         "--detector", str(onnx_p), "--classifier", str(xml_p),
+         "--clf_arch", "shufflenetv2"] + COMMON
+    )
+    assert rc == 0
+    assert os.path.exists(out_path)
+
+
+def test_stream_detector_artifact_pointed_error(tmp_path, capsys):
+    from litepi_tpu.apps.stream import main
+
+    bad = tmp_path / "det.onnx"
+    bad.write_bytes(b"not a protobuf")
+    img_path = str(tmp_path / "one.jpg")
+    import cv2
+
+    cv2.imwrite(img_path, np.zeros((64, 64, 3), np.uint8))
+    rc = main(
+        ["--mode", "single", "--input", img_path,
+         "--output", str(tmp_path / "o"), "--detector", str(bad)] + COMMON
+    )
+    assert rc == 2
+    assert "--detector" in capsys.readouterr().err
