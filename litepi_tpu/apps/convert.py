@@ -167,12 +167,10 @@ def main(argv=None) -> int:
 
             variables = load_checkpoint(args.input)
         elif args.input.endswith((".param", ".xml")):
-            if not is_detector and (
-                args.input.endswith(".xml") or args.arch != "shufflenetv2"
-            ):
+            if not is_detector and args.arch != "shufflenetv2":
                 print(
                     "error: classifier graph ingestion covers shufflenetv2 "
-                    "NCNN pairs (the canonical emission); other classifier "
+                    "pairs (the canonical emission); other classifier "
                     "graphs lose their torch names in exports — convert "
                     "from the .pth or a name-preserving .onnx instead",
                     file=sys.stderr,
@@ -182,13 +180,22 @@ def main(argv=None) -> int:
 
             bin_path = args.bin or os.path.splitext(args.input)[0] + ".bin"
             if not is_detector:
-                from litepi_tpu.weights.ncnn_import import (
-                    convert_classifier_ncnn,
-                )
+                if args.input.endswith(".param"):
+                    from litepi_tpu.weights.ncnn_import import (
+                        convert_classifier_ncnn,
+                    )
 
-                variables, ncls = convert_classifier_ncnn(
-                    args.input, bin_path
-                )
+                    variables, ncls = convert_classifier_ncnn(
+                        args.input, bin_path
+                    )
+                else:
+                    from litepi_tpu.weights.openvino_import import (
+                        convert_classifier_openvino_fused,
+                    )
+
+                    variables, ncls = convert_classifier_openvino_fused(
+                        args.input, bin_path
+                    )
                 if ncls != args.num_classes:
                     raise ValueError(
                         f"graph has {ncls} classes, --num_classes says "
@@ -246,9 +253,29 @@ def main(argv=None) -> int:
             else:
                 from litepi_tpu.weights.onnx_import import (
                     convert_classifier_onnx,
+                    convert_classifier_onnx_fused,
                 )
 
-                variables = convert_classifier_onnx(args.arch, args.input)
+                fused_result = None
+                if args.arch == "shufflenetv2":
+                    # a fused emission (ours or a constant-folded torch
+                    # export) re-ingests as deploy form; fall back to the
+                    # name-preserving converter for unfused exports
+                    try:
+                        fused_result = convert_classifier_onnx_fused(
+                            args.input
+                        )
+                    except ValueError:
+                        fused_result = None
+                if fused_result is not None:
+                    variables, ncls = fused_result
+                    if ncls != args.num_classes:
+                        raise ValueError(
+                            f"graph has {ncls} classes, --num_classes "
+                            f"says {args.num_classes}"
+                        )
+                else:
+                    variables = convert_classifier_onnx(args.arch, args.input)
         else:
             from litepi_tpu.weights.torch_import import (
                 convert_classifier_state_dict,

@@ -335,3 +335,29 @@ def test_convert_classifier_onnx_fused_rejects_detector_graph():
     data = build_detector_onnx(YOLO_PLUS_V2, sd)
     with pytest.raises(ValueError, match="ShuffleNetV2"):
         convert_classifier_onnx_fused(data)
+
+
+def test_convert_cli_ingests_classifier_onnx(tmp_path):
+    """An emitted (fused) classifier ONNX converts back to an orbax
+    checkpoint through the fused ingestion path."""
+    from litepi_tpu.apps.convert import main as convert_main
+    from litepi_tpu.weights.onnx_export import export_classifier_onnx
+
+    _, variables = _shufflenet_vars(4, seed=5)
+    onnx_p = tmp_path / "clf.onnx"
+    export_classifier_onnx("shufflenetv2", variables, 4, str(onnx_p))
+    out = tmp_path / "ckpt"
+    rc = convert_main(
+        [
+            "--arch", "shufflenetv2", "--num_classes", "4",
+            "--input", str(onnx_p), "--output", str(out),
+        ]
+    )
+    assert rc == 0
+    rc = convert_main(
+        [
+            "--arch", "shufflenetv2", "--num_classes", "9",
+            "--input", str(onnx_p), "--output", str(out),
+        ]
+    )
+    assert rc == 2

@@ -648,3 +648,30 @@ def test_classifier_ir_converter_rejects_detector_ir(tmp_path):
     bin_p.write_bytes(bin_data)
     with pytest.raises(ValueError, match="ShuffleNetV2"):
         convert_classifier_openvino_fused(str(xml_p), str(bin_p))
+
+
+def test_convert_cli_ingests_classifier_xml(tmp_path):
+    """convert CLI closes the loop the other way: an emitted classifier
+    IR converts to an orbax checkpoint (deploy-form), smoke-tested
+    through the fused module; wrong --num_classes is a pointed error."""
+    from litepi_tpu.apps.convert import main as convert_main
+    from litepi_tpu.weights.openvino_export import export_classifier_openvino
+
+    _, variables = _shufflenet_vars(4, seed=5)
+    xml_p = tmp_path / "clf.xml"
+    export_classifier_openvino("shufflenetv2", variables, 4, str(xml_p))
+    out = tmp_path / "ckpt"
+    rc = convert_main(
+        [
+            "--arch", "shufflenetv2", "--num_classes", "4",
+            "--input", str(xml_p), "--output", str(out),
+        ]
+    )
+    assert rc == 0
+    rc = convert_main(
+        [
+            "--arch", "shufflenetv2", "--num_classes", "9",
+            "--input", str(xml_p), "--output", str(out),
+        ]
+    )
+    assert rc == 2
