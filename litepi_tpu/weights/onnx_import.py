@@ -480,14 +480,26 @@ def convert_classifier_onnx_fused(src: Union[str, bytes, Dict[str, np.ndarray]])
     )
 
     inits = src if isinstance(src, dict) else read_onnx_initializers(src)
-    missing = [
-        f"{tkey}.weight"
-        for tkey, _f, _t in shufflenet_weighted_plan()
-        if f"{tkey}.weight" not in inits
-    ]
+    # Deploy form means every conv carries the folded-BN bias and no BN
+    # statistics remain.  An UNFUSED torchvision export shares all the
+    # ``.weight`` keys (its convs are bias-free, BN follows), so presence
+    # of weights alone cannot distinguish the two — the 03eb66e regression.
+    missing = []
+    for tkey, _f, ltype in shufflenet_weighted_plan():
+        if f"{tkey}.weight" not in inits:
+            missing.append(f"{tkey}.weight")
+        elif ltype != "InnerProduct" and f"{tkey}.bias" not in inits:
+            missing.append(f"{tkey}.bias")
     if missing:
         raise ValueError(
             "ONNX graph is not a fused ShuffleNetV2 export: missing "
             f"initializers {missing[:4]}"
+        )
+    bn_stats = [k for k in inits if "running_mean" in k or "running_var" in k]
+    if bn_stats:
+        raise ValueError(
+            "ONNX graph is not a fused ShuffleNetV2 export: BatchNorm "
+            f"statistics present ({bn_stats[:2]}...) — this is an unfused "
+            "training-form graph; use convert_classifier_onnx instead."
         )
     return shufflenet_deploy_variables(inits)

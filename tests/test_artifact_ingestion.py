@@ -421,3 +421,56 @@ def test_train_checkpoint_swap_survives_partial_rename(tmp_path):
         meta_template={"next_epoch": 0, "best_score": 0.0, "best_epoch": 0},
     )
     assert meta["next_epoch"] == 3 and float(restored["w"][3]) == 3.0
+
+
+def test_classifier_onnx_fused_predicate_matrix(tmp_path):
+    """The fused-vs-unfused routing matrix that the 03eb66e regression
+    broke: the fused ingester must CLAIM deploy-form graphs (biased convs,
+    no BN stats) and REJECT training-form graphs (bias-free convs, BN
+    stats present) so callers fall through to the name-preserving
+    converter (reference contract: convert-model-classify.ipynb cells 3-4
+    exports both forms)."""
+    from litepi_tpu.weights.onnx_import import (
+        convert_classifier_onnx,
+        convert_classifier_onnx_fused,
+    )
+    from tests.torch_refs import ShuffleNetV2T
+
+    torch.manual_seed(2)
+    tm = ShuffleNetV2T(num_classes=5)
+    randomize_bn_stats(tm, seed=3)
+    tm.eval()
+    unfused_sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+
+    # unfused graph: fused ingester rejects with the BN/bias diagnosis ...
+    with pytest.raises(ValueError, match="fused ShuffleNetV2"):
+        convert_classifier_onnx_fused(_onnx_bytes(unfused_sd))
+    # ... and the name-preserving converter accepts it
+    variables = convert_classifier_onnx("shufflenetv2", _onnx_bytes(unfused_sd))
+    assert "params" in variables
+
+    # fused graph (our own emission): fused ingester accepts
+    from litepi_tpu.models import build_classifier
+    from litepi_tpu.weights.ncnn_export import shufflenetv2_fused_state_dict
+    from litepi_tpu.weights.onnx_export import build_classifier_onnx
+    from litepi_tpu.models.registry import CLASSIFIER_BN_EPS
+    from litepi_tpu.weights.fold_bn import fold_pipeline_vars
+
+    folded, fused_flag = fold_pipeline_vars(variables, eps=CLASSIFIER_BN_EPS)
+    assert fused_flag
+    fused_sd = shufflenetv2_fused_state_dict(folded)
+    data = build_classifier_onnx("shufflenetv2", fused_sd, 5)
+    fused_vars, ncls = convert_classifier_onnx_fused(data)
+    assert ncls == 5
+
+    # semantics match across the matrix
+    import jax.numpy as jnp
+
+    x = jnp.asarray(
+        np.random.default_rng(7).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    )
+    m_train = build_classifier("shufflenetv2", 5)
+    m_fused = build_classifier("shufflenetv2", 5, fused=True)
+    o1 = np.asarray(m_train.apply(variables, x, train=False))
+    o2 = np.asarray(m_fused.apply(fused_vars, x, train=False))
+    np.testing.assert_allclose(o2, o1, atol=1e-4, rtol=1e-4)
