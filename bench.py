@@ -69,6 +69,8 @@ def main() -> None:
         nms=NMSConfig(
             max_candidates=args.max_candidates, max_detections=args.max_det
         ),
+        # bench the serving configuration: BGR host frames, RGB compute
+        input_color="bgr",
     )
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     pipe = TwoStagePipeline.initialize(cfg, seed=0, dtype=dtype)

@@ -318,6 +318,8 @@ def main(argv=None) -> int:
         num_classifier_classes=args.num_classes,
         det_input_size=args.det_input_size,
         cls_input_size=args.cls_input_size,
+        # frames arrive as cv2-BGR; compute is RGB (reference e2e.py:224)
+        input_color="bgr",
         batch_size=args.batch_size,
         yolo_conf=args.yolo_conf,
         benchmark_conf=args.benchmark_conf,

@@ -319,6 +319,8 @@ def main(argv=None) -> int:
         num_classifier_classes=args.num_classes,
         det_input_size=args.img_size,
         batch_size=args.batch_size,
+        # cv2/native-loader frames are BGR; compute is RGB
+        input_color="bgr",
     )
 
     det_model = YoloLitePi(cfg.detector, dtype=jnp.bfloat16)

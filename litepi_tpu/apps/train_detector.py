@@ -219,6 +219,7 @@ def main(argv=None) -> int:
         pcfg = PipelineConfig(
             detector=cfg,
             nms=NMSConfig(max_candidates=512, max_detections=64, min_area=0.0),
+            input_color="bgr",  # val images come via cv2.imread
             num_classifier_classes=max(args.num_classes, 2),
             det_input_size=args.imgsz,
             batch_size=args.batch,

@@ -108,6 +108,7 @@ def make_harness(
     max_detections: int = 64,
     max_candidates: int = 256,
     det_vars=None,
+    input_color: str = "rgb",
 ) -> DetectorHarness:
     """Build the staged programs for any benchmarkable variant.
 
@@ -115,6 +116,9 @@ def make_harness(
     fixed 300x300) exactly as the reference benchmarks them separately
     (evaluation_tsd_single_img_other.ipynb); the YOLO family shares the
     letterbox pre and NMS post.
+
+    ``input_color="bgr"`` reverses the channel axis in ``pre`` (cv2-fed
+    frames; model compute is RGB — the framework convention).
     """
     import jax
     import jax.numpy as jnp
@@ -124,6 +128,9 @@ def make_harness(
     from litepi_tpu.ops.nms import nms_sorted
 
     jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+
+    def _to_rgb(f):
+        return f[..., ::-1] if input_color == "bgr" else f
 
     if variant in LITE_VARIANTS or variant in ("yolov11n", "yolov5n"):
         from litepi_tpu.ops.anchors import make_anchors
@@ -162,7 +169,8 @@ def make_harness(
         strides_j = jnp.asarray(strd)
 
         pre = jax.jit(
-            lambda f: letterbox_device(f, input_size, jdtype) * (1.0 / 255.0)
+            lambda f: letterbox_device(_to_rgb(f), input_size, jdtype)
+            * (1.0 / 255.0)
         )
         infer = jax.jit(lambda x: model.apply(variables, x, train=False))
         post = jax.jit(
@@ -188,7 +196,8 @@ def make_harness(
         g_j, s_j, a_j = jnp.asarray(g), jnp.asarray(s), jnp.asarray(a)
 
         pre = jax.jit(
-            lambda f: letterbox_device(f, input_size, jdtype) * (1.0 / 255.0)
+            lambda f: letterbox_device(_to_rgb(f), input_size, jdtype)
+            * (1.0 / 255.0)
         )
         infer = jax.jit(lambda x: model.apply(variables, x, train=False))
         post = jax.jit(
@@ -214,7 +223,7 @@ def make_harness(
 
         pre = jax.jit(
             lambda f: jax.image.resize(
-                f.astype(jnp.float32),
+                _to_rgb(f).astype(jnp.float32),
                 (f.shape[0], size, size, 3),
                 "bilinear",
             ).astype(jdtype)
@@ -265,7 +274,7 @@ def make_harness(
 
         pre = jax.jit(
             lambda f: jax.image.resize(
-                f.astype(jnp.float32),
+                _to_rgb(f).astype(jnp.float32),
                 (f.shape[0], input_size, input_size, 3),
                 "bilinear",
             ).astype(jdtype)
@@ -385,6 +394,7 @@ def evaluate_detector(
         iou=iou,
         max_detections=max_detections,
         max_candidates=max(1024, max_detections),
+        input_color="bgr",  # frames below come from cv2.imread
     )
     import os
 

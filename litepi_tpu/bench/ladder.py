@@ -109,7 +109,9 @@ class OptimizationExperiment:
         base_cfg: Optional[PipelineConfig] = None,
         levels: Optional[List[LevelSpec]] = None,
     ) -> None:
-        self.base_cfg = base_cfg or PipelineConfig()
+        # ladder frames are cv2-BGR (real images via imread; synthetic
+        # frames are colour-order agnostic) — compute in RGB
+        self.base_cfg = base_cfg or PipelineConfig(input_color="bgr")
         self.levels = levels if levels is not None else LEVELS
         self._pipes: Dict[str, TwoStagePipeline] = {}
         self.results: Dict[str, Dict[str, float]] = {}

@@ -243,3 +243,11 @@ class PipelineConfig:
     # window size for the "windowed" impl (the pallas kernel uses its own
     # static 128x256 slab)
     roi_window: int = 128
+    # Colour order of HOST-provided frames/crops.  Model compute is always
+    # RGB (the reference converts BGR->RGB before both stages — e2e.py:224,
+    # :385); "bgr" makes the jitted programs reverse the channel axis at
+    # entry, which XLA fuses into the normalise (zero extra HBM traffic —
+    # cheaper than the reference's host cvtColor).  The apps/CLIs pass
+    # "bgr" because cv2/native-loader buffers are BGR; the default "rgb"
+    # means frames are already in model order (no flip).
+    input_color: str = "rgb"

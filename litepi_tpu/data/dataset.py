@@ -144,7 +144,10 @@ class DetectionDataset:
             gt_mask = np.zeros((batch_size, self.max_gt), bool)
             for b in range(batch_size):
                 img, boxes, cls = self._load_one()
-                imgs[b] = img.astype(np.float32) / 255.0
+                # augs run in cv2-BGR space; the model batch is RGB (the
+                # framework's compute convention — reference training is
+                # RGB via Ultralytics/torchvision)
+                imgs[b] = img[..., ::-1].astype(np.float32) / 255.0
                 n = min(len(boxes), self.max_gt)
                 gt_boxes[b, :n] = boxes[:n]
                 gt_labels[b, :n] = cls[:n]
@@ -246,7 +249,8 @@ class CropClassificationDataset:
                 labels = np.zeros(batch_size, np.int64)
                 for i, idx in enumerate(idxs):
                     img, lab = self._load(int(idx))
-                    imgs[i] = img.astype(np.float32) / 255.0
+                    # BGR (cv2 load + augs) -> RGB model batch
+                    imgs[i] = img[..., ::-1].astype(np.float32) / 255.0
                     labels[i] = lab
                 if self.augment:
                     imgs, soft = mix_collate(

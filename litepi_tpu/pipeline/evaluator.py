@@ -33,6 +33,28 @@ from litepi_tpu.ops.letterbox import letterbox_host
 from litepi_tpu.pipeline.two_stage import TwoStagePipeline
 
 
+def int_crop_coords(boxes: np.ndarray, w: int, h: int):
+    """Integer crop geometry shared by the min-area filter and the ROI
+    cropper — the reference's exact corner handling (e2e.py:464-471):
+    truncate toward zero, clamp the top-left INSIDE the image (a box clipped
+    to the right/bottom edge would slice empty and crash cv2.resize), force
+    x2 > x1 and y2 > y1.
+
+    boxes: (N, 4) float xyxy.  Returns (xi1, yi1, xi2, yi2) int arrays with
+    0 <= xi1 < xi2 <= w and 0 <= yi1 < yi2 <= h.  A box survives the
+    min-area filter iff the crop sliced with these integers satisfies it —
+    both consumers MUST use this one function.
+    """
+    if len(boxes) == 0:
+        z = np.zeros(0, int)
+        return z, z, z, z
+    xi1 = np.clip(boxes[:, 0].astype(int), 0, w - 1)
+    yi1 = np.clip(boxes[:, 1].astype(int), 0, h - 1)
+    xi2 = np.clip(boxes[:, 2].astype(int), xi1 + 1, w)
+    yi2 = np.clip(boxes[:, 3].astype(int), yi1 + 1, h)
+    return xi1, yi1, xi2, yi2
+
+
 class PipelineEvaluator:
     def __init__(
         self,
@@ -64,19 +86,20 @@ class PipelineEvaluator:
 
         c = self.pipe.cfg.cls_input_size
         crops = np.zeros((len(boxes), c, c, 3), np.float32)
-        for i, b in enumerate(boxes):
-            x1, y1, x2, y2 = (int(v) for v in b)
-            # clamp the top-left INSIDE the image too: a box clipped to the
-            # right/bottom edge (x1 == width) would slice empty and crash
-            # cv2.resize
-            x1 = min(max(x1, 0), image.shape[1] - 1)
-            y1 = min(max(y1, 0), image.shape[0] - 1)
-            x2 = min(max(x2, x1 + 1), image.shape[1])
-            y2 = min(max(y2, y1 + 1), image.shape[0])
-            roi = image[y1:y2, x1:x2]
+        xi1, yi1, xi2, yi2 = int_crop_coords(
+            np.asarray(boxes, np.float32).reshape(-1, 4),
+            image.shape[1],
+            image.shape[0],
+        )
+        for i in range(len(boxes)):
+            roi = image[yi1[i] : yi2[i], xi1[i] : xi2[i]]
+            # resize the uint8 crop (NOT a float upcast): both reference
+            # crop forms produce uint8 pixels (PIL in e2e.py:385, cv2 in
+            # e2e_optimize.py:393), so the rounded bilinear result is the
+            # bit-exact classifier input contract
             crops[i] = cv2.resize(
-                roi.astype(np.float32), (c, c), interpolation=cv2.INTER_LINEAR
-            )
+                roi, (c, c), interpolation=cv2.INTER_LINEAR
+            ).astype(np.float32)
         return crops
 
     def run_batch(
@@ -111,8 +134,10 @@ class PipelineEvaluator:
 
         Returns one result dict per image: boxes (N, 4) xyxy original pixels,
         det_scores (N,), labels (N,) classifier argmax, cls_scores (N,).
-        BGR crops feed the classifier, matching the reference's colour
-        handling at the e2e entry point.
+        Frames/crops stay in ``cfg.input_color`` order on the host; with
+        "bgr" (the e2e CLI) the jitted programs flip to RGB at entry,
+        matching the reference's BGR->RGB conversions before both stages
+        (e2e.py:224, :385) without a host cvtColor pass.
 
         ``eval_budget=True`` is the mAP-pass configuration: the device stops
         at candidate decode and the exact unbounded greedy NMS runs on the
@@ -177,8 +202,12 @@ class PipelineEvaluator:
                 if cfg.nms.eval_max_detections:
                     order = np.argsort(-scores)[: cfg.nms.eval_max_detections]
                     boxes, scores = boxes[order], scores[order]
-            areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
-            keep = areas >= cfg.nms.min_area
+            # min-area filter in the reference's INT-cast crop geometry
+            # (e2e.py:464-471: astype(int), clip top-left inside, force
+            # x2>x1/y2>y1) — the same integers _crop_rois slices with, so a
+            # box survives here iff its crop exists there
+            xi1, yi1, xi2, yi2 = int_crop_coords(boxes, w, h)
+            keep = (xi2 - xi1) * (yi2 - yi1) >= cfg.nms.min_area
             boxes, scores = boxes[keep], scores[keep]
             results.append(
                 {
@@ -410,6 +439,16 @@ class PipelineEvaluator:
                     os.path.splitext(os.path.basename(p))[0] + ".txt",
                 )
                 gt_boxes, gt_cls = parse_yolo_label(label_path, w, h)
+                if metrics_mode == "reference":
+                    # the reference evaluation consumes INT-truncated
+                    # coordinates on both sides: GT via int() per corner
+                    # (parse_yolo_label, e2e.py:151-154) and predictions
+                    # via bbox=tuple(boxes[i].astype(int)) (run :525);
+                    # reproducing its numbers exactly requires the same
+                    # quantisation
+                    gt_boxes = np.trunc(gt_boxes.astype(np.float64)).astype(
+                        np.float32
+                    )
                 all_gts.append((gt_boxes, gt_cls))
                 if res is None:
                     all_preds.append(
@@ -420,9 +459,10 @@ class PipelineEvaluator:
                         )
                     )
                 else:
-                    all_preds.append(
-                        (res["boxes"], res["det_scores"], res["labels"])
-                    )
+                    pb = res["boxes"]
+                    if metrics_mode == "reference":
+                        pb = np.trunc(pb)  # reference bbox astype(int)
+                    all_preds.append((pb, res["det_scores"], res["labels"]))
                 if viz_dir and img is not None and res is not None:
                     self._save_viz(
                         viz_dir, p, img, res, gt_boxes, benchmark_conf

@@ -140,6 +140,11 @@ class TwoStagePipeline:
         of each TPU vector register and measured 3x the whole backbone's
         runtime.  All box decode happens on the K candidates only.
         """
+        if self.cfg.input_color == "bgr":
+            # host buffers are cv2-BGR; compute is RGB (reference converts
+            # before the detector, e2e.py:224-226) — the reverse fuses into
+            # the first conv's input handling, no extra HBM pass
+            canvas01 = canvas01[..., ::-1]
         out = self.det_model.apply(det_vars, canvas01, train=False)
         k = max_candidates or self.cfg.nms.max_candidates
         if self._candidate_decoder is not None:
@@ -201,6 +206,10 @@ class TwoStagePipeline:
     @functools.partial(jax.jit, static_argnums=(0,))
     def _classify_jit(self, cls_vars: Any, crops01: jnp.ndarray) -> jnp.ndarray:
         """crops01: (N, c, c, 3) in [0, 1] -> (N, num_classes) probabilities."""
+        if self.cfg.input_color == "bgr":
+            # classifier also computes in RGB (reference predict_batch
+            # converts each crop, e2e.py:385)
+            crops01 = crops01[..., ::-1]
         x = (crops01 - self._mean) / self._std
         logits = self.cls_model.apply(cls_vars, x, train=False)
         return jax.nn.softmax(logits, axis=-1)
@@ -315,8 +324,9 @@ class TwoStagePipeline:
     ) -> Dict[str, jnp.ndarray]:
         """Full two-stage pipeline on raw same-resolution frames.
 
-        frames: (B, H, W, 3) uint8 (any colour order consistent with the
-        trained weights).  Returns fixed-shape padded outputs; ``valid`` masks
+        frames: (B, H, W, 3) uint8 in ``cfg.input_color`` order ("bgr" for
+        cv2/native-loader frames — the programs flip to the RGB compute
+        convention in-graph).  Returns fixed-shape padded outputs; ``valid`` masks
         real detections.  ``area_scale`` (B,): per-frame multiplier applied
         to box areas before the min-area floor — pass 1/letterbox_ratio^2
         when frames are pre-letterboxed canvases of larger originals.
