@@ -120,7 +120,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # exactly (e2e.py:656-824) so CSV rows are comparable to its published
     # numbers; "ultralytics" is the stricter Ultralytics-contract evaluator
     p.add_argument(
-        "--metrics", default="reference", choices=["reference", "ultralytics"]
+        "--metrics", default="reference",
+        choices=["reference", "ultralytics", "level0"],
+        help="level0 = the simple single-IoU greedy surface of the "
+        "level-0 baseline (e2e_level0.py:201-261; no mAP columns)",
     )
     # output
     p.add_argument("--output", default="output_eval")

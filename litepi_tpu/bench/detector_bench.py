@@ -454,6 +454,7 @@ def run_fair_benchmark(
 def main(argv=None) -> int:  # pragma: no cover - exercised on hardware
     import argparse
     import json
+    import sys
 
     p = argparse.ArgumentParser(description="Detector fair benchmark (TPU)")
     p.add_argument(
@@ -468,10 +469,26 @@ def main(argv=None) -> int:  # pragma: no cover - exercised on hardware
     p.add_argument("--labels", default=None)
     p.add_argument("--num_classes", type=int, default=1)
     p.add_argument("--max_images", type=int, default=50)
+    p.add_argument(
+        "--checkpoint", default=None,
+        help="orbax dir from a training CLI (train_detector/train_baselines "
+        "best|last) — benches the trained weights instead of random init; "
+        "applies to the single variant given",
+    )
     args = p.parse_args(argv)
+    det_vars = None
+    if args.checkpoint:
+        if len(args.variants) != 1:
+            print("error: --checkpoint applies to exactly one variant",
+                  file=sys.stderr)
+            return 2
+        from litepi_tpu.weights.checkpoint import load_checkpoint
+
+        det_vars = load_checkpoint(args.checkpoint)
     for v in args.variants:
         row = benchmark_detector(
             v,
+            det_vars=det_vars,
             batch=args.batch,
             iters=args.iters,
             warmup=args.warmup,
@@ -483,6 +500,7 @@ def main(argv=None) -> int:  # pragma: no cover - exercised on hardware
                     v,
                     args.images,
                     args.labels,
+                    det_vars=det_vars,
                     num_classes=args.num_classes,
                     input_size=args.input_size,
                     max_images=args.max_images,

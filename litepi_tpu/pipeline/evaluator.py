@@ -439,11 +439,12 @@ class PipelineEvaluator:
                     os.path.splitext(os.path.basename(p))[0] + ".txt",
                 )
                 gt_boxes, gt_cls = parse_yolo_label(label_path, w, h)
-                if metrics_mode == "reference":
+                if metrics_mode in ("reference", "level0"):
                     # the reference evaluation consumes INT-truncated
                     # coordinates on both sides: GT via int() per corner
                     # (parse_yolo_label, e2e.py:151-154) and predictions
-                    # via bbox=tuple(boxes[i].astype(int)) (run :525);
+                    # via bbox=tuple(boxes[i].astype(int)) (run :525;
+                    # level0: extract_predictions e2e_level0.py:148);
                     # reproducing its numbers exactly requires the same
                     # quantisation
                     gt_boxes = np.trunc(gt_boxes.astype(np.float64)).astype(
@@ -460,7 +461,7 @@ class PipelineEvaluator:
                     )
                 else:
                     pb = res["boxes"]
-                    if metrics_mode == "reference":
+                    if metrics_mode in ("reference", "level0"):
                         pb = np.trunc(pb)  # reference bbox astype(int)
                     all_preds.append((pb, res["det_scores"], res["labels"]))
                 if viz_dir and img is not None and res is not None:
@@ -489,6 +490,33 @@ class PipelineEvaluator:
             metrics["classes_present"] = np.flatnonzero(present).tolist()
         elif metrics_mode == "ultralytics":
             metrics = evaluate_predictions(all_preds, all_gts, num_classes)
+        elif metrics_mode == "level0":
+            # the simple single-IoU greedy surface of the level-0 baseline
+            # (e2e_level0.py:201-261); it defines no AP, so the mAP columns
+            # carry NaN in the CSV row
+            from litepi_tpu.evals.level0 import evaluate_predictions_level0
+
+            raw = evaluate_predictions_level0(all_preds, all_gts, num_classes)
+            metrics = dict(raw)
+            metrics["precision"] = raw["mean_precision"]
+            metrics["recall"] = raw["mean_recall"]
+            metrics["f1"] = raw["mean_f1"]
+            metrics["tp"] = int(raw["tp"].sum())
+            metrics["fp"] = int(raw["fp"].sum())
+            metrics["fn"] = int(raw["fn"].sum())
+            metrics["mAP50"] = float("nan")
+            metrics["mAP50_95"] = float("nan")
+            metrics["per_class"] = {
+                c: {
+                    "precision": float(raw["precision_per_class"][c]),
+                    "recall": float(raw["recall_per_class"][c]),
+                    "f1": float(raw["f1_per_class"][c]),
+                    "tp": int(raw["tp"][c]),
+                    "fp": int(raw["fp"][c]),
+                    "fn": int(raw["fn"][c]),
+                }
+                for c in range(num_classes)
+            }
         else:
             raise ValueError(f"unknown metrics_mode: {metrics_mode!r}")
         metrics["metrics_mode"] = metrics_mode

@@ -18,5 +18,6 @@ exec python -m pytest -q \
   tests/test_ops_nms.py \
   tests/test_ops_decode.py \
   tests/test_evals.py \
+  tests/test_level0_evals.py \
   tests/test_small_tools.py \
   "$@"
