@@ -254,19 +254,27 @@ def main(argv=None) -> int:
                 from litepi_tpu.weights.onnx_import import (
                     convert_classifier_onnx,
                     convert_classifier_onnx_fused,
+                    convert_classifier_onnx_traced,
                 )
 
                 fused_result = None
                 if args.arch == "shufflenetv2":
-                    # a fused emission (ours or a constant-folded torch
-                    # export) re-ingests as deploy form; fall back to the
-                    # name-preserving converter for unfused exports
+                    # a fused emission re-ingests as deploy form by NAME;
+                    # a real torch.onnx.export fused graph (anonymous
+                    # onnx::Conv_* initializers) binds by TOPOLOGY; fall
+                    # back to the name-preserving converter for unfused
+                    # exports
                     try:
                         fused_result = convert_classifier_onnx_fused(
                             args.input
                         )
                     except ValueError:
-                        fused_result = None
+                        try:
+                            fused_result = convert_classifier_onnx_traced(
+                                args.input
+                            )
+                        except ValueError:
+                            fused_result = None
                 if fused_result is not None:
                     variables, ncls = fused_result
                     if ncls != args.num_classes:

@@ -115,7 +115,10 @@ def _parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
     elif float_data:
         arr = np.frombuffer(b"".join(float_data), dtype=np.float32)
     elif int_data:
-        arr = np.asarray(int_data, dtype=np_dtype)
+        # packed varints are two's-complement: wrap >= 2^63 back to negative
+        # (Slice ends of INT64_MAX-1 appear as-is; negative axes wrap)
+        signed = [v - (1 << 64) if v >= (1 << 63) else v for v in int_data]
+        arr = np.asarray(signed, dtype=np_dtype)
     else:
         arr = np.zeros(0, np_dtype)
     return name, arr.reshape(dims) if dims else arr
@@ -160,7 +163,8 @@ class OnnxNode:
 
 def _parse_attr(buf: bytes) -> Tuple[str, Any]:
     """One AttributeProto -> (name, python value).  Covers the attribute
-    kinds the reference's exports use: INT / FLOAT / STRING / INTS."""
+    kinds real exports use: INT / FLOAT / STRING / INTS / TENSOR (the
+    TENSOR kind carries ``Constant`` node payloads in torch.onnx output)."""
     name = ""
     value: Any = None
     ints: List[int] = []
@@ -173,6 +177,8 @@ def _parse_attr(buf: bytes) -> Tuple[str, Any]:
             value = val
         elif field == 4 and isinstance(val, bytes):  # s
             value = val.decode()
+        elif field == 5 and isinstance(val, bytes):  # t (TensorProto)
+            _, value = _parse_tensor(val)
         elif field == 8:  # ints (packed or repeated)
             if wire == 0:
                 ints.append(val)
@@ -240,13 +246,17 @@ def run_onnx_graph(
     """Execute a graph on numpy feeds (NCHW, batch dim included),
     returning ``{output_name: array}`` for every produced blob.
 
-    Implements exactly the 17 op types the reference's detector exports
-    and the ShuffleNetV2 classifier emission use (incl. Relu/ReduceMean/
-    Gemm); convolutions run through XLA on the host CPU (same trick as
-    :func:`litepi_tpu.weights.ncnn_import.run_ncnn_graph`, whose docstring
-    explains why).  This is the execution oracle for both the REAL
-    surviving ``yolo_plus.onnx`` and graphs emitted by
-    :mod:`litepi_tpu.weights.onnx_export`.
+    Implements the op set of the reference's detector exports, the
+    ShuffleNetV2 classifier emission, AND real ``torch.onnx.export``
+    classifier graphs (Constant/Shape/Gather/Unsqueeze/Identity/Clip/
+    BatchNormalization/Flatten on top of the original 17 — torch's
+    tracer lowers channel-shuffle through Shape/Gather dataflow and
+    MobileNet's ReLU6 through Clip); convolutions run through XLA on the
+    host CPU (same trick as :func:`litepi_tpu.weights.ncnn_import.
+    run_ncnn_graph`, whose docstring explains why).  This is the
+    execution oracle for the REAL surviving ``yolo_plus.onnx``, graphs
+    emitted by :mod:`litepi_tpu.weights.onnx_export`, and real
+    torch-exported classifier graphs (tests/test_torch_onnx_roundtrip.py).
     """
     import jax
     import jax.numpy as jnp
@@ -343,7 +353,7 @@ def run_onnx_graph(
                 blobs[out] = x[tuple(sl)]
         elif op == "Reshape":
             x = get(node.inputs[0])
-            shape = [int(v) for v in get(node.inputs[1])]
+            shape = [int(v) for v in np.asarray(get(node.inputs[1])).ravel()]
             shape = [
                 x.shape[i] if d == 0 else d for i, d in enumerate(shape)
             ]
@@ -381,18 +391,87 @@ def run_onnx_graph(
             scales = get(node.inputs[2]).astype(np.float64)
             fh, fw = int(scales[2]), int(scales[3])
             blobs[node.outputs[0]] = x.repeat(fh, axis=2).repeat(fw, axis=3)
+        elif op == "Constant":
+            val = node.attrs.get("value")
+            if val is None:  # value_float / value_int single-scalar forms
+                for k in ("value_float", "value_int"):
+                    if k in node.attrs:
+                        val = np.asarray(node.attrs[k])
+                        break
+            if val is None:
+                raise ValueError(f"{node.name}: Constant without value")
+            blobs[node.outputs[0]] = np.asarray(val)
+        elif op == "Identity":
+            blobs[node.outputs[0]] = get(node.inputs[0])
+        elif op == "Shape":
+            blobs[node.outputs[0]] = np.asarray(
+                get(node.inputs[0]).shape, dtype=np.int64
+            )
+        elif op == "Gather":
+            x = get(node.inputs[0])
+            idx = get(node.inputs[1])
+            blobs[node.outputs[0]] = np.take(
+                x, idx.astype(np.int64), axis=int(node.attrs.get("axis", 0))
+            )
+        elif op == "Unsqueeze":
+            x = get(node.inputs[0])
+            axes = node.attrs.get("axes")
+            if axes is None:  # opset>=13: axes as second input
+                axes = get(node.inputs[1]).tolist()
+            y = x
+            for a in sorted(int(a) for a in axes):
+                y = np.expand_dims(y, a if a >= 0 else a + y.ndim + 1)
+            blobs[node.outputs[0]] = y
+        elif op == "Flatten":
+            x = get(node.inputs[0])
+            axis = int(node.attrs.get("axis", 1))
+            lead = int(np.prod(x.shape[:axis])) if axis else 1
+            blobs[node.outputs[0]] = x.reshape(lead, -1)
+        elif op == "Clip":
+            x = get(node.inputs[0])
+            lo = (
+                get(node.inputs[1])
+                if len(node.inputs) > 1 and node.inputs[1]
+                else node.attrs.get("min")
+            )
+            hi = (
+                get(node.inputs[2])
+                if len(node.inputs) > 2 and node.inputs[2]
+                else node.attrs.get("max")
+            )
+            if lo is not None:
+                x = np.maximum(x, np.asarray(lo, x.dtype))
+            if hi is not None:
+                x = np.minimum(x, np.asarray(hi, x.dtype))
+            blobs[node.outputs[0]] = x
+        elif op == "BatchNormalization":
+            x = get(node.inputs[0])
+            scale, bias, mean, var = (get(i) for i in node.inputs[1:5])
+            eps = float(node.attrs.get("epsilon", 1e-5))
+            shp = (1, -1) + (1,) * (x.ndim - 2)
+            blobs[node.outputs[0]] = (
+                (x - mean.reshape(shp))
+                / np.sqrt(var.reshape(shp) + eps)
+                * scale.reshape(shp)
+                + bias.reshape(shp)
+            )
         elif op == "Slice":
             x = get(node.inputs[0])
             starts = [int(v) for v in get(node.inputs[1])]
             ends = [int(v) for v in get(node.inputs[2])]
             axes = (
                 [int(v) for v in get(node.inputs[3])]
-                if len(node.inputs) > 3
+                if len(node.inputs) > 3 and node.inputs[3]
                 else list(range(len(starts)))
             )
+            steps = (
+                [int(v) for v in get(node.inputs[4])]
+                if len(node.inputs) > 4 and node.inputs[4]
+                else [1] * len(starts)
+            )
             sl = [slice(None)] * x.ndim
-            for s, e, a in zip(starts, ends, axes):
-                sl[a] = slice(s, e)
+            for s, e, a, st in zip(starts, ends, axes, steps):
+                sl[a if a >= 0 else a + x.ndim] = slice(s, e, st)
             blobs[node.outputs[0]] = x[tuple(sl)]
         else:
             raise ValueError(f"unsupported ONNX op {op!r} ({node.name})")
@@ -440,6 +519,26 @@ def convert_detector_onnx(
     return convert_detector_state_dict(defuse_state_dict(inits), depths)
 
 
+def read_onnx_state_dict(src: Union[str, bytes]) -> Dict[str, np.ndarray]:
+    """Initializers PLUS Identity-aliased names — the full state dict of a
+    name-preserving export.
+
+    Real ``torch.onnx.export`` deduplicates bit-identical initializers
+    (e.g. the all-ones BatchNorm scales of a fresh model): one tensor
+    survives under one state-dict name and every other occurrence becomes
+    an ``Identity`` node re-materialising the aliased name.  Replaying
+    those nodes recovers the complete mapping (float16 upcast as in
+    :func:`read_onnx_initializers`)."""
+    nodes, inits, _gi, _go = read_onnx_graph(src)
+    out: Dict[str, np.ndarray] = {}
+    for name, arr in inits.items():
+        out[name] = arr.astype(np.float32) if arr.dtype == np.float16 else arr
+    for node in nodes:
+        if node.op == "Identity" and node.inputs[0] in out:
+            out[node.outputs[0]] = out[node.inputs[0]]
+    return out
+
+
 def convert_classifier_onnx(
     arch: str, src: Union[str, bytes, Dict[str, np.ndarray]]
 ):
@@ -455,7 +554,7 @@ def convert_classifier_onnx(
     """
     from litepi_tpu.weights.torch_import import convert_classifier_state_dict
 
-    inits = src if isinstance(src, dict) else read_onnx_initializers(src)
+    inits = src if isinstance(src, dict) else read_onnx_state_dict(src)
     try:
         return convert_classifier_state_dict(arch, inits)
     except KeyError as e:
@@ -465,6 +564,93 @@ def convert_classifier_onnx(
             "fused, initializers renamed). Re-export with "
             "do_constant_folding=False, or convert from the .pth instead."
         ) from e
+
+
+def convert_classifier_onnx_traced(src: Union[str, bytes]):
+    """Fused ``torch.onnx.export`` ShuffleNetV2 graph -> (deploy-form
+    variables, num_classes), bound by topology instead of names.
+
+    Real ``torch.onnx.export`` in eval mode folds every BatchNorm into its
+    conv (the jit eval peephole) and renames the fused initializers to
+    anonymous ``onnx::Conv_NNNN``, so no state-dict name survives for
+    :func:`convert_classifier_onnx_fused` to map.  What DOES survive is
+    weighted-node ORDER: the tracer emits convs in module execution order,
+    which is exactly :func:`litepi_tpu.weights.ncnn_import.
+    shufflenet_weighted_plan` order.  Binding is therefore positional and
+    type-checked node by node (depthwise iff ``group > 1``, the fc as
+    ``Gemm``) — the ONNX sibling of ``convert_classifier_ncnn``'s plan
+    verification (reference artifact flow: convert-model-classify.ipynb
+    cells 3-4)."""
+    from litepi_tpu.weights.ncnn_import import (
+        shufflenet_deploy_variables,
+        shufflenet_weighted_plan,
+    )
+
+    nodes, inits, _gi, _go = read_onnx_graph(src)
+    bn_nodes = [n.name for n in nodes if n.op == "BatchNormalization"]
+    if bn_nodes:
+        raise ValueError(
+            "ONNX graph is not a fused export: BatchNormalization nodes "
+            f"present ({bn_nodes[:2]}...); use convert_classifier_onnx."
+        )
+    # resolve Identity-deduplicated tensors so every node input is fetchable
+    alias: Dict[str, np.ndarray] = dict(inits)
+    for node in nodes:
+        if node.op == "Identity" and node.inputs[0] in alias:
+            alias[node.outputs[0]] = alias[node.inputs[0]]
+
+    weighted = [n for n in nodes if n.op in ("Conv", "Gemm")]
+    plan = shufflenet_weighted_plan()
+    errors: List[str] = []
+    if len(weighted) != len(plan):
+        errors.append(
+            f"weighted-node count: graph has {len(weighted)}, the "
+            f"canonical ShuffleNetV2 form has {len(plan)}"
+        )
+    sd: Dict[str, np.ndarray] = {}
+    for node, (tkey, _fpath, ltype) in zip(weighted, plan):
+        w = alias.get(node.inputs[1])
+        if w is None:
+            errors.append(f"{node.name} -> {tkey}: weight is not constant")
+            continue
+        if node.op == "Gemm":
+            if ltype != "InnerProduct":
+                errors.append(f"{node.name} -> {tkey}: Gemm != {ltype}")
+                continue
+            if float(node.attrs.get("alpha", 1.0)) != 1.0 or float(
+                node.attrs.get("beta", 1.0)
+            ) != 1.0:
+                errors.append(f"{node.name}: non-unit Gemm alpha/beta")
+                continue
+            if not int(node.attrs.get("transB", 0)):
+                w = w.T  # canonical torch fc layout is (out, in)
+        else:
+            groups = int(node.attrs.get("group", 1))
+            want_dw = ltype == "ConvolutionDepthWise"
+            if (groups > 1) != want_dw:
+                errors.append(
+                    f"{node.name} -> {tkey}: group={groups} but plan "
+                    f"says {ltype}"
+                )
+                continue
+            if len(node.inputs) < 3:
+                errors.append(
+                    f"{node.name} -> {tkey}: fused conv carries no bias"
+                )
+                continue
+        sd[f"{tkey}.weight"] = np.asarray(w, np.float32)
+        if len(node.inputs) > 2:
+            b = alias.get(node.inputs[2])
+            if b is None:
+                errors.append(f"{node.name} -> {tkey}: bias is not constant")
+                continue
+            sd[f"{tkey}.bias"] = np.asarray(b, np.float32)
+    if errors:
+        raise ValueError(
+            "ONNX graph does not trace onto the canonical ShuffleNetV2 "
+            "plan:\n  " + "\n  ".join(errors)
+        )
+    return shufflenet_deploy_variables(sd)
 
 
 def convert_classifier_onnx_fused(src: Union[str, bytes, Dict[str, np.ndarray]]):

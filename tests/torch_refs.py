@@ -145,6 +145,56 @@ class ResNet18T(nn.Module):
         return self.fc(x)
 
 
+def export_real_onnx(
+    model: nn.Module,
+    example: torch.Tensor,
+    path: str,
+    fused: bool = True,
+    opset: int = 18,
+) -> None:
+    """Run the REAL ``torch.onnx.export`` toolchain (torchscript exporter)
+    on a mirror model — the same flow the reference's
+    convert-model-classify.ipynb cells 3-4 use.
+
+    ``fused=True`` is the exporter's eval default: the jit eval peephole
+    folds every Conv+BN and renames the fused initializers to anonymous
+    ``onnx::Conv_NNNN``.  ``fused=False`` (``do_constant_folding=False`` +
+    ``TrainingMode.PRESERVE``) keeps BatchNormalization nodes and
+    state-dict initializer names.
+
+    One shim: this environment has no ``onnx`` package, and the exporter's
+    last step (``_add_onnxscript_fn``) imports it only to splice CUSTOM
+    onnxscript functions into the already-serialized proto — a no-op for
+    standard-domain graphs like these.  Patching it to passthrough leaves
+    every byte of the proto produced by torch's own C++ serializer.
+    """
+    from torch.onnx import TrainingMode
+    from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+
+    orig = onnx_proto_utils._add_onnxscript_fn
+    onnx_proto_utils._add_onnxscript_fn = lambda model_bytes, co: model_bytes
+    try:
+        kwargs = (
+            {}
+            if fused
+            else dict(
+                do_constant_folding=False, training=TrainingMode.PRESERVE
+            )
+        )
+        torch.onnx.export(
+            model,
+            (example,),
+            path,
+            opset_version=opset,
+            dynamo=False,
+            input_names=["images"],
+            output_names=["out"],
+            **kwargs,
+        )
+    finally:
+        onnx_proto_utils._add_onnxscript_fn = orig
+
+
 def randomize_bn_stats(model: nn.Module, seed: int = 0) -> None:
     """Give BN layers non-trivial running stats so parity tests catch
     mean/var mapping bugs (fresh models have mean 0 / var 1)."""
