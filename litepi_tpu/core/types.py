@@ -251,3 +251,15 @@ class PipelineConfig:
     # "bgr" because cv2/native-loader buffers are BGR; the default "rgb"
     # means frames are already in model order (no flip).
     input_color: str = "rgb"
+    # Global classifier budget for the fused program: classify only the
+    # top-``cls_crop_budget`` crops BY DETECTION SCORE across the whole
+    # batch (0 = classify every B x max_detections slot).  The per-frame
+    # NMS budget must cover the densest frame, but at serving conf the
+    # MEAN detections/frame is far below max_detections, so most slots are
+    # masked padding; compacting before the classifier skips that padding.
+    # Exact whenever the batch's valid-detection count fits the budget;
+    # beyond it the lowest-scoring detections are dropped (same capping
+    # spirit as max_detections, and unlike the reference's unbounded host
+    # loop — documented serving trade).  Scores, boxes and the valid mask
+    # of surviving slots are untouched.
+    cls_crop_budget: int = 0

@@ -75,8 +75,15 @@ class TwoStagePipeline:
 
             det_vars, fused = fold_detector_pipeline_vars(det_vars)
             self.det_model = YoloLitePi(cfg.detector, dtype=dtype, fused=fused)
+            # deploy-form YoloLitePi: the fused program folds the 1/255
+            # scale and BGR->RGB flip into the stem kernel at trace time
+            # (weights/fold_bn.py::fold_stem_input) and feeds raw 0-255
+            # letterbox pixels — saves the full-canvas elementwise HBM
+            # passes between letterbox and stem
+            self._stem_input_foldable = fused
         else:
             self.det_model = det_model
+            self._stem_input_foldable = False
         self._candidate_decoder = candidate_decoder
         # Pin params to the default (accelerator) device NOW.  fast_init
         # leaves them COMMITTED to the host CPU device; passed as jit
@@ -90,7 +97,7 @@ class TwoStagePipeline:
         cls_vars, cls_fused = fold_pipeline_vars(
             cls_vars, eps=CLASSIFIER_BN_EPS
         )
-        target = jax.devices()[0]
+        target = jax.local_devices()[0]
         det_vars = jax.device_put(det_vars, target)
         cls_vars = jax.device_put(cls_vars, target)
         self.cls_model = build_classifier(
@@ -121,12 +128,13 @@ class TwoStagePipeline:
     # stage programs                                                      #
     # ------------------------------------------------------------------ #
 
-    @functools.partial(jax.jit, static_argnums=(0, 3))
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4))
     def _detect_jit(
         self,
         det_vars: Any,
         canvas01: jnp.ndarray,
         max_candidates: Optional[int] = None,
+        raw_input: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """canvas01: (B, S, S, 3) in [0, 1].  Returns the top
         ``max_candidates`` (static; defaults to the serving budget
@@ -140,10 +148,10 @@ class TwoStagePipeline:
         of each TPU vector register and measured 3x the whole backbone's
         runtime.  All box decode happens on the K candidates only.
         """
-        if self.cfg.input_color == "bgr":
+        if self.cfg.input_color == "bgr" and not raw_input:
             # host buffers are cv2-BGR; compute is RGB (reference converts
-            # before the detector, e2e.py:224-226) — the reverse fuses into
-            # the first conv's input handling, no extra HBM pass
+            # before the detector, e2e.py:224-226); with ``raw_input`` the
+            # flip (and the 1/255 scale) live in the stem kernel instead
             canvas01 = canvas01[..., ::-1]
         out = self.det_model.apply(det_vars, canvas01, train=False)
         k = max_candidates or self.cfg.nms.max_candidates
@@ -243,8 +251,23 @@ class TwoStagePipeline:
         # (ops/pallas_stem.py) but is NOT wired here: Mosaic cannot lower
         # the interleaved-NHWC lane regrouping it needs (round-3 measured
         # dead end — see the kernel's docstring for the full account).
-        canvas = letterbox_device(frames, size, self.det_model.dtype) * (1.0 / 255.0)
-        boxes, scores, class_ids = self._detect_jit(det_vars, canvas)
+        canvas = letterbox_device(frames, size, self.det_model.dtype)
+        if self._stem_input_foldable:
+            from litepi_tpu.weights.fold_bn import fold_stem_input
+
+            # trace-time kernel rewrite (a few ops on a (3,3,3,c0) tensor —
+            # free next to one canvas pass); the detector then consumes the
+            # raw 0-255 canvas directly
+            raw_vars = fold_stem_input(
+                det_vars, 1.0 / 255.0, self.cfg.input_color == "bgr"
+            )
+            boxes, scores, class_ids = self._detect_jit(
+                raw_vars, canvas, None, True
+            )
+        else:
+            boxes, scores, class_ids = self._detect_jit(
+                det_vars, canvas * (1.0 / 255.0)
+            )
         b, s, c, v = nms_sorted(
             boxes,
             scores,
@@ -303,9 +326,29 @@ class TwoStagePipeline:
             )
         crops = crops * (1.0 / 255.0)
         n, d = crops.shape[0], crops.shape[1]
-        probs = self._classify_jit(
-            cls_vars, crops.reshape(n * d, *crops.shape[2:])
-        ).reshape(n, d, -1)
+        flat = crops.reshape(n * d, *crops.shape[2:])
+        budget = cfg.cls_crop_budget
+        if budget and budget < n * d:
+            # global compaction: rank every slot by detection score (invalid
+            # slots sink to -1), classify only the top ``budget`` crops, and
+            # scatter the probabilities back.  The gather is ~24 KB/crop;
+            # the classifier work drops by (n*d)/budget.
+            flat_rank = jnp.where(v, s, -1.0).reshape(n * d)
+            _, sel = jax.lax.top_k(flat_rank, budget)
+            sel_probs = self._classify_jit(cls_vars, flat[sel])
+            probs = (
+                jnp.zeros((n * d, sel_probs.shape[-1]), sel_probs.dtype)
+                .at[sel]
+                .set(sel_probs)
+                .reshape(n, d, -1)
+            )
+            # detections beyond the budget lose their classification slot
+            kept = (
+                jnp.zeros((n * d,), bool).at[sel].set(True).reshape(n, d)
+            )
+            v = v & kept
+        else:
+            probs = self._classify_jit(cls_vars, flat).reshape(n, d, -1)
         return {
             "boxes": orig_boxes,
             "det_scores": s,

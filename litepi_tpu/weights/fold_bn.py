@@ -124,3 +124,51 @@ def fold_detector_pipeline_vars(
 ) -> Tuple[Dict[str, Any], bool]:
     """Detector variant of :func:`fold_pipeline_vars` (ConvBN eps 1e-3)."""
     return fold_pipeline_vars(variables, eps=BN_EPS)
+
+
+def fold_stem_input(
+    variables: Dict[str, Any],
+    scale: float,
+    flip_channels: bool,
+    stem_path: Tuple[str, ...] = ("backbone", "stem", "conv"),
+) -> Dict[str, Any]:
+    """Fold an input-side per-channel transform into the stem conv kernel.
+
+    The fused serving program feeds the detector RAW letterbox pixels
+    (0..255, host colour order).  The reference normalises on the host
+    before inference (``in0 = pixels / 255`` after BGR→RGB,
+    e2e.py:224-238); done literally in-graph that is 2-3 full elementwise
+    HBM passes over the (B, 640, 640, 3) canvas.  Both transforms are
+    linear maps of the conv's INPUT channels, so they fold into the first
+    kernel instead::
+
+        conv(flip(x) * s, W)  ==  conv(x, flip_cin(W) * s)
+
+    Exact including zero padding (a pure scale/permutation fixes 0), unlike
+    a mean-shift fold.  Only valid on deploy-form (BN-folded) variables —
+    an unfused BN after the stem normalises by running stats recorded for
+    the UNSCALED activations, so callers must fold BN first.
+
+    Returns a new variables dict; the input tree is not mutated.
+    """
+    params = variables["params"]
+    node = params
+    for key in stem_path[:-1]:
+        node = node[key]
+    conv = dict(node[stem_path[-1]])
+    kernel = conv["kernel"]  # Flax layout (kh, kw, cin, cout)
+    if flip_channels:
+        kernel = kernel[:, :, ::-1, :]
+    conv["kernel"] = kernel * scale
+
+    def rebuild(tree: Dict[str, Any], path: Tuple[str, ...]) -> Dict[str, Any]:
+        out = dict(tree)
+        if len(path) == 1:
+            out[path[0]] = conv
+        else:
+            out[path[0]] = rebuild(tree[path[0]], path[1:])
+        return out
+
+    new_vars = dict(variables)
+    new_vars["params"] = rebuild(params, stem_path)
+    return new_vars

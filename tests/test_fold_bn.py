@@ -205,3 +205,40 @@ def test_fold_scales_preexisting_conv_bias():
         np.asarray(folded["params"]["blk"]["conv"]["bias"]), expect,
         rtol=1e-6,
     )
+
+
+def test_fold_stem_input_exact():
+    """fold_stem_input: conv(flip(x) * s, W) == conv(x, flip_cin(W) * s) for
+    the whole detector graph — the fused serving program feeds raw 0-255
+    letterbox pixels and carries the reference's host normalisation
+    (e2e.py:224-238) inside the stem kernel instead of as elementwise
+    passes over the canvas."""
+    from litepi_tpu.weights.fold_bn import fold_stem_input
+
+    model = YoloLitePi(TINY, fused=True)
+    variables = jax.device_put(
+        jax.tree.map(
+            lambda x: x,
+            _init_fused_vars(model),
+        )
+    )
+    rng = np.random.default_rng(11)
+    raw = rng.integers(0, 256, (2, 64, 64, 3)).astype(np.float32)
+
+    ref = model.apply(variables, jnp.asarray(raw[..., ::-1] / 255.0), train=False)
+    folded = fold_stem_input(variables, 1.0 / 255.0, flip_channels=True)
+    got = model.apply(folded, jnp.asarray(raw), train=False)
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5
+        )
+    # the input tree must not be mutated
+    assert variables["params"]["backbone"]["stem"]["conv"]["kernel"].shape == (
+        folded["params"]["backbone"]["stem"]["conv"]["kernel"].shape
+    )
+
+
+def _init_fused_vars(model):
+    unfused = YoloLitePi(TINY, fused=False)
+    variables = _init_vars(unfused, TINY.input_size)
+    return fold_batchnorm(variables)

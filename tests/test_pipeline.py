@@ -81,3 +81,48 @@ def test_invalid_slots_have_sentinel_class(pipe):
     out = pipe.run_fused(frames, conf_threshold=0.999999)
     assert np.asarray(out["valid"]).sum() == 0
     assert (np.asarray(out["det_class_ids"]) == -1).all()
+
+
+def test_cls_crop_budget(pipe):
+    """Global classifier compaction (PipelineConfig.cls_crop_budget): with
+    the budget covering every valid detection the fused outputs are
+    bit-identical to the unbudgeted program; with a smaller budget exactly
+    the top-scoring detections keep their slots, bit-equal on survivors.
+
+    TPU rationale: the per-frame NMS budget sizes for the densest frame,
+    but at serving conf the mean occupancy is far lower — compacting crops
+    across the batch before the classifier skips the masked padding
+    (measured on-chip; see PARITY perf notes)."""
+    import dataclasses
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, (2, 200, 300, 3), dtype=np.uint8)
+    base = pipe.run_fused(frames, conf_threshold=0.01)
+    v0 = np.asarray(base["valid"])
+    n_valid = int(v0.sum())
+    assert n_valid >= 3, "fixture must produce detections for this test"
+
+    def with_budget(r):
+        cfg = dataclasses.replace(SMALL, cls_crop_budget=r)
+        p = TwoStagePipeline(cfg, pipe.det_vars, pipe.cls_vars)
+        return p.run_fused(frames, conf_threshold=0.01)
+
+    # budget >= valid count: everything identical
+    ample = with_budget(v0.size - 1)  # < n*d so the compaction path runs
+    if n_valid <= v0.size - 1:
+        for k in base:
+            a, b = np.asarray(base[k])[v0], np.asarray(ample[k])[v0]
+            assert np.array_equal(a, b), k
+        assert np.array_equal(v0, np.asarray(ample["valid"]))
+
+    # budget below the valid count: top-scoring detections survive,
+    # bit-equal to the unbudgeted run on surviving slots
+    r = n_valid - 2
+    capped = with_budget(r)
+    v1 = np.asarray(capped["valid"])
+    assert int(v1.sum()) == r
+    scores = np.asarray(base["det_scores"])
+    kept, dropped = scores[v1], scores[v0 & ~v1]
+    assert kept.min() >= dropped.max()
+    for k in ("boxes", "det_scores", "cls_probs", "cls_labels"):
+        assert np.array_equal(np.asarray(base[k])[v1], np.asarray(capped[k])[v1]), k
