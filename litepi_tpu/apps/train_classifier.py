@@ -143,7 +143,7 @@ def main(argv=None) -> int:
                            "best_epoch": 0},
         )
         # orbax restores host-committed arrays; re-pin to the accelerator
-        state = jax.device_put(state, jax.devices()[0])
+        state = jax.device_put(state, jax.local_devices()[0])
         start_epoch = int(meta["next_epoch"])
         best_val, best_epoch = float(meta["best_score"]), int(meta["best_epoch"])
         print(f"resumed from {resume_dir}: epoch {start_epoch}, "

@@ -299,7 +299,7 @@ def main(argv=None) -> int:
         if mesh is not None:
             state = jax.device_put(state, replicated_sharding(mesh))
         else:
-            state = jax.device_put(state, jax.devices()[0])
+            state = jax.device_put(state, jax.local_devices()[0])
         start_epoch = int(meta["next_epoch"])
         best_map, best_epoch = float(meta["best_score"]), int(meta["best_epoch"])
         print(

@@ -28,6 +28,6 @@ def fast_init(
     ``spatial`` must cover the model's total stride (64 >= the detector's 32).
     """
     x = np.zeros((1, spatial, spatial, channels), np.float32)
-    cpu = jax.devices("cpu")[0]
+    cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         return model.init(jax.random.key(seed), x, train=False)

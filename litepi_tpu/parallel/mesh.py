@@ -60,6 +60,27 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_replicated(tree: Any, mesh: Mesh) -> Any:
+    """Replicate a pytree of host-local values across the whole mesh.
+
+    Single-process this is a plain ``device_put``.  Multi-controller JAX
+    rejects ``device_put`` of a locally-committed array onto a sharding that
+    spans other hosts' devices (cross-host reshard), so there each process
+    contributes its local copy via ``make_array_from_process_local_data``.
+    Callers must ensure every process holds IDENTICAL values (deterministic
+    init or a prior broadcast) — replication asserts it, it doesn't sync it.
+    """
+    sharding = replicated_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        tree,
+    )
+
+
 def shard_pipeline_batch(mesh: Mesh, batch: Any) -> Any:
     """Place a pytree of batch-leading arrays with the batch dim sharded over
     'data'.  Used by the serving path to spread frames across chips."""

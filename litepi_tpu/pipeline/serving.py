@@ -27,7 +27,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 
-from litepi_tpu.parallel.mesh import batch_sharding, replicated_sharding
+from litepi_tpu.parallel.mesh import (
+    batch_sharding,
+    put_replicated,
+    replicated_sharding,
+)
 from litepi_tpu.pipeline.two_stage import TwoStagePipeline
 
 
@@ -37,9 +41,10 @@ class MeshServer:
         self.mesh = mesh
         self._param_sharding = replicated_sharding(mesh)
         self._batch_sharding = batch_sharding(mesh)
-        # place parameters once, replicated across the mesh
-        self.det_vars = jax.device_put(pipe.det_vars, self._param_sharding)
-        self.cls_vars = jax.device_put(pipe.cls_vars, self._param_sharding)
+        # place parameters once, replicated across the mesh (multi-process
+        # safe: put_replicated routes around the cross-host reshard ban)
+        self.det_vars = put_replicated(pipe.det_vars, mesh)
+        self.cls_vars = put_replicated(pipe.cls_vars, mesh)
 
     @property
     def data_parallelism(self) -> int:
@@ -63,6 +68,31 @@ class MeshServer:
             else conf_threshold
         )
         frames = jax.device_put(frames, self._batch_sharding)
+        return self._run(frames, conf)
+
+    def serve_local(
+        self, local_frames: np.ndarray, conf_threshold: Optional[float] = None
+    ) -> Dict[str, jnp.ndarray]:
+        """Multi-process serving: ``local_frames`` is THIS process's shard.
+
+        Each host feeds only the frames its own chips consume (the pod input
+        contract of :mod:`litepi_tpu.data.distributed`); the global batch is
+        ``local * process_count``, assembled without any cross-host frame
+        traffic.  Single-process this is exactly :meth:`serve`.  Returned
+        arrays are globally sharded — gather with
+        ``multihost_utils.process_allgather`` if a host needs foreign rows.
+        """
+        conf = (
+            self.pipe.cfg.benchmark_conf
+            if conf_threshold is None
+            else conf_threshold
+        )
+        frames = jax.make_array_from_process_local_data(
+            self._batch_sharding, np.asarray(local_frames)
+        )
+        return self._run(frames, conf)
+
+    def _run(self, frames, conf: float) -> Dict[str, jnp.ndarray]:
         hw = (int(frames.shape[1]), int(frames.shape[2]))
         return self.pipe._fused_jit(
             self.det_vars, self.cls_vars, hw, jnp.float32(conf), frames

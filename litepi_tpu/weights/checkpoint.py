@@ -14,17 +14,25 @@ from typing import Any
 import jax
 
 
+def _sync(name: str) -> None:
+    """Global barrier; no-op single-process."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
 def save_checkpoint(path: str, variables: Any) -> None:
     """Save a pytree of arrays to ``path`` (a directory).
 
-    Multi-host: only process 0 writes.  The trained state is replicated, so
-    one host's copy is complete; concurrent writers racing force-deletes of
-    the same directory corrupt the checkpoint.
+    Multi-host: EVERY process must call this (orbax's save is a collective —
+    it runs internal cross-process syncs, so a process-0-only call leaves the
+    others' collective streams misaligned and the next barrier dies on a
+    name mismatch; found by the 2-process dryrun).  Orbax's primary-host
+    logic ensures replicated/host data is written once.
     """
     import orbax.checkpoint as ocp
 
-    if jax.process_index() != 0:
-        return
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, variables, force=True)
@@ -61,23 +69,29 @@ def save_train_checkpoint(path: str, state: Any, meta: dict) -> None:
 
     meta_arrays = {k: np.asarray(v) for k, v in meta.items()}
     payload = {"state": jax.device_get(state), "meta": meta_arrays}
-    if jax.process_index() != 0:
-        return
     # crash-safe swap: the previous resume point must survive until the new
     # one is fully written (a force-overwrite deletes it FIRST, so a
     # preemption mid-save would destroy the only resume point — the exact
-    # event resume exists for)
+    # event resume exists for).  Multi-host: filesystem mutations are
+    # process-0-only on the shared checkpoint FS, the orbax write is
+    # collective (see save_checkpoint), and barriers order the two so no
+    # process writes into a directory mid-rmtree or reads a half-swapped
+    # path.
     path = os.path.abspath(path)
     new, old = path + ".new", path + ".old"
-    for stale in (new, old):
-        if os.path.isdir(stale):
-            shutil.rmtree(stale)
+    if jax.process_index() == 0:
+        for stale in (new, old):
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
+    _sync("litepi_ckpt_clean")
     save_checkpoint(new, payload)
-    if os.path.isdir(path):
-        os.rename(path, old)
-    os.rename(new, path)
-    if os.path.isdir(old):
-        shutil.rmtree(old)
+    if jax.process_index() == 0:
+        if os.path.isdir(path):
+            os.rename(path, old)
+        os.rename(new, path)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+    _sync("litepi_ckpt_swap")
 
 
 def load_train_checkpoint(
@@ -108,10 +122,7 @@ def load_train_checkpoint(
         not os.path.isdir(abspath) and os.path.isdir(abspath + ".old")
     ):
         os.rename(abspath + ".old", abspath)
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-
-        multihost_utils.sync_global_devices("litepi_resume_promote")
+    _sync("litepi_resume_promote")
     if meta_template is not None:
         tpl = {
             "state": like_state,

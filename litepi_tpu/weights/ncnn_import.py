@@ -812,7 +812,7 @@ def run_ncnn_graph(
     # compiling 64 distinct conv shapes through the device relay costs
     # minutes; the CPU backend coexists with any accelerator and compiles
     # these in milliseconds.
-    _cpu = jax.devices("cpu")[0]
+    _cpu = jax.local_devices(backend="cpu")[0]
 
     @partial(jax.jit, static_argnums=(2, 3, 4, 5))
     def _conv_jit(x, w, stride, pad, dilation, groups):

@@ -263,7 +263,7 @@ def run_onnx_graph(
 
     from functools import partial
 
-    _cpu = jax.devices("cpu")[0]
+    _cpu = jax.local_devices(backend="cpu")[0]
 
     @partial(jax.jit, static_argnums=(2, 3, 4, 5))
     def _conv_jit(x, w, stride, pad, dilation, groups):

@@ -408,7 +408,7 @@ def run_ir_graph(
     g = graph if isinstance(graph, IrGraph) else parse_openvino_xml(graph)
     data = blob if isinstance(blob, bytes) else open(blob, "rb").read()
 
-    _cpu = jax.devices("cpu")[0]
+    _cpu = jax.local_devices(backend="cpu")[0]
 
     @partial(jax.jit, static_argnums=(2, 3, 4, 5))
     def _conv_jit(x_, w, stride, pad, dilation, groups):
