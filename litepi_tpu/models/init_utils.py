@@ -30,4 +30,11 @@ def fast_init(
     x = np.zeros((1, spatial, spatial, channels), np.float32)
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
-        return model.init(jax.random.key(seed), x, train=False)
+        # jit rather than eager-trace: eager init dispatches each op as its
+        # own tiny executable (~60-100 s for the two-stage pair on a 1-core
+        # host), while one jitted program compiles once and — because the
+        # CPU backend honours JAX_COMPILATION_CACHE_DIR — later *processes*
+        # load it from the persistent cache in ~a second.  Keyed by the
+        # traced program, so any model-code change re-inits correctly.
+        init = jax.jit(lambda key: model.init(key, x, train=False))
+        return jax.device_get(init(jax.random.key(seed)))

@@ -13,13 +13,19 @@ Exact in float32 — the fused forward equals the unfused inference forward
 to rounding.  Motivation is HBM traffic, not FLOPs: unfused inference BN
 lowers to a separate elementwise pass over every activation map (measured
 ~3 ms/step on the B=128 detector, round-2b profile).
+
+The fold math runs in NumPy deliberately: eagerly-dispatched jnp ops here
+meant one tiny XLA compile per ConvBN block (~150 compiles x ~0.35 s each
+through a remote-compile TPU plugin, measured 38 s of the 57 s pipeline
+construction — and each too small for the persistent compilation cache).
+Weight-sized elementwise math needs no accelerator.
 """
 
 from __future__ import annotations
 
 from typing import Any, Dict, Tuple
 
-import jax.numpy as jnp
+import numpy as np
 
 BN_EPS = 1e-3  # litepi_tpu.models.layers.ConvBN's BatchNorm epsilon
 
@@ -63,14 +69,20 @@ def fold_batchnorm(
                 and "scale" in bn_p
                 and "var" in bn_s
             ):
-                s = bn_p["scale"] / jnp.sqrt(bn_s["var"] + eps)
+                s = np.asarray(bn_p["scale"]) / np.sqrt(
+                    np.asarray(bn_s["var"]) + eps
+                )
                 conv = dict(params[conv_key])
                 # Flax conv kernels are (kh, kw, cin/groups, cout): scale cout
-                conv["kernel"] = conv["kernel"] * s
+                conv["kernel"] = np.asarray(conv["kernel"]) * s
                 # BN(conv(x)+b) = s*(conv(x)+b-mean)+beta: a pre-existing
                 # conv bias scales by s too
-                base = conv.get("bias", 0.0)
-                conv["bias"] = base * s + bn_p["bias"] - bn_s["mean"] * s
+                base = np.asarray(conv["bias"]) if "bias" in conv else 0.0
+                conv["bias"] = (
+                    base * s
+                    + np.asarray(bn_p["bias"])
+                    - np.asarray(bn_s["mean"]) * s
+                )
                 out[conv_key] = conv
                 del out[k]
                 folded_bns.add(k)

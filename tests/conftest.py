@@ -13,6 +13,13 @@ Two steps are required, in order, before any test imports jax:
 
 import os
 
+# persistent compilation cache: the CPU backend honours this, so the
+# compile-heavy tests (full-model jits, 50-65 s each on this 1-core host)
+# only pay compilation on their first-ever run
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/litepi_jax")
+)
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
