@@ -56,6 +56,11 @@ def main() -> None:
     # max_det=16 budget still covers the densest frame
     p.add_argument("--cls-crop-budget", type=int, default=None,
                    help="total crops classified per batch (default 4*batch)")
+    # per-frame crop budget: slice NMS output to the top-8 slots per frame
+    # before the ROI crop (score-descending, so a static slice).  8 = 4x
+    # the reference's mean 2.1 detections/frame at serving conf; the dense
+    # crop stage shrinks 2x (measured -1.7 ms/batch at B=128)
+    p.add_argument("--crop-det-budget", type=int, default=8)
     p.add_argument(
         "--profile", default=None, metavar="DIR",
         help="capture a jax.profiler trace of the timed run into DIR",
@@ -108,6 +113,7 @@ def main() -> None:
         # bench the serving configuration: BGR host frames, RGB compute
         input_color="bgr",
         cls_crop_budget=budget,
+        crop_det_budget=args.crop_det_budget,
     )
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     progress(f"initializing pipeline (device={jax.devices()[0]})")

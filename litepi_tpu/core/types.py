@@ -251,6 +251,16 @@ class PipelineConfig:
     # "bgr" because cv2/native-loader buffers are BGR; the default "rgb"
     # means frames are already in model order (no flip).
     input_color: str = "rgb"
+    # Per-frame crop budget for the fused program: keep only the top
+    # ``crop_det_budget`` score-descending NMS slots per frame BEFORE the
+    # ROI crop (0 = keep all max_detections slots).  The dense crop costs
+    # one hat-matmul against the full frame per slot, so the crop stage
+    # shrinks proportionally; outputs then carry crop_det_budget slots.
+    # Exact whenever every frame has <= budget valid detections (same
+    # capping spirit as max_detections, applied one stage later); unlike
+    # cls_crop_budget the slice is per-frame and inserts no cross-batch
+    # collectives under a data-sharded mesh.
+    crop_det_budget: int = 0
     # Global classifier budget for the fused program: classify only the
     # top-``cls_crop_budget`` crops BY DETECTION SCORE across the whole
     # batch (0 = classify every B x max_detections slot).  The per-frame

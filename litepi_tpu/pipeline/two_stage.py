@@ -276,6 +276,16 @@ class TwoStagePipeline:
             nms_cfg.iou_threshold,
             nms_cfg.max_detections,
         )
+        if cfg.crop_det_budget and cfg.crop_det_budget < nms_cfg.max_detections:
+            # per-frame crop budget: nms_sorted slots are score-descending,
+            # so keeping the top ``crop_det_budget`` per frame is a static
+            # slice — every stage downstream (unmap, area filter, ROI crop,
+            # classifier) shrinks with it.  The dense ROI crop pays one
+            # hat-matmul against the full frame PER SLOT, so this cuts its
+            # cost by max_detections/crop_det_budget.  Mesh-safe: the slice
+            # is per-frame, no cross-batch collective under data sharding.
+            d2 = cfg.crop_det_budget
+            b, s, c, v = b[..., :d2, :], s[..., :d2], c[..., :d2], v[..., :d2]
         # map to original pixels (static geometry: one program per resolution)
         shift = jnp.asarray([dw, dh, dw, dh], jnp.float32)
         orig_boxes = clip_boxes((b - shift) / ratio, w, h)

@@ -83,6 +83,34 @@ def test_invalid_slots_have_sentinel_class(pipe):
     assert (np.asarray(out["det_class_ids"]) == -1).all()
 
 
+def test_crop_det_budget(pipe):
+    """Per-frame crop budget (PipelineConfig.crop_det_budget): outputs carry
+    the top ``budget`` score-descending slots per frame, bit-equal to the
+    same slots of the unbudgeted program (nms_sorted orders slots by score,
+    so the budget is a static slice taken before unmap/area/crop/classify).
+
+    TPU rationale: the dense ROI crop pays one hat-matmul against the full
+    frame per slot; slicing at the NMS boundary shrinks the crop stage by
+    max_detections/budget (measured on-chip; see PARITY perf notes)."""
+    import dataclasses
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, (2, 200, 300, 3), dtype=np.uint8)
+    base = pipe.run_fused(frames, conf_threshold=0.01)
+    d2 = np.asarray(base["valid"]).shape[1] // 2
+
+    cfg = dataclasses.replace(SMALL, crop_det_budget=d2)
+    p = TwoStagePipeline(cfg, pipe.det_vars, pipe.cls_vars)
+    capped = p.run_fused(frames, conf_threshold=0.01)
+
+    assert np.asarray(capped["valid"]).shape[1] == d2
+    for k in base:
+        a, b = np.asarray(base[k])[:, :d2], np.asarray(capped[k])
+        assert np.array_equal(a, b), k
+    # the fixture must actually exercise a non-trivial slice
+    assert np.asarray(base["valid"]).sum() >= 1
+
+
 def test_cls_crop_budget(pipe):
     """Global classifier compaction (PipelineConfig.cls_crop_budget): with
     the budget covering every valid detection the fused outputs are
