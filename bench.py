@@ -261,6 +261,33 @@ def main() -> None:
             streaming["decode_fps_core"] = round(
                 runner.decode_probe(paths[:64], threads=1)["fps"], 2
             )
+            # TT100K-shaped probe: sources are ~2048^2 (SURVEY §0), where
+            # the DCT-scaled serving decode actually bites (640px bench
+            # frames letterbox at r=1 — no scaling possible).  Records the
+            # full-vs-scaled A/B so the lever's measured value (bounded by
+            # Huffman entropy decode — see native/loader.cc) is in BENCH.
+            rng_big = np.random.default_rng(0)
+            big = cv2.resize(
+                rng_big.integers(
+                    30, 225, (64, 64, 3), dtype=np.uint8
+                ),
+                (2048, 2048),
+                interpolation=cv2.INTER_CUBIC,
+            )
+            p_big = os.path.join(td, "tt100k_shaped.jpg")
+            cv2.imwrite(p_big, big, [cv2.IMWRITE_JPEG_QUALITY, 90])
+            big_paths = [p_big] * 48
+            runner.decode_probe(big_paths[:4], threads=1)  # warm page cache
+            streaming["decode_fps_core_2048_full"] = round(
+                runner.decode_probe(
+                    big_paths, threads=1, scaled_decode=False
+                )["fps"], 2,
+            )
+            streaming["decode_fps_core_2048_scaled"] = round(
+                runner.decode_probe(
+                    big_paths, threads=1, scaled_decode=True
+                )["fps"], 2,
+            )
             runner.close()
         progress(f"streaming (JPEG-included): {streaming['fps']:.2f} FPS")
 
@@ -316,6 +343,12 @@ def main() -> None:
         record["streaming_frames"] = streaming["frames"]
         record["streaming_native_decoder"] = streaming["native_decoder"]
         record["decode_fps_core"] = streaming.get("decode_fps_core")
+        record["decode_fps_core_2048_full"] = streaming.get(
+            "decode_fps_core_2048_full"
+        )
+        record["decode_fps_core_2048_scaled"] = streaming.get(
+            "decode_fps_core_2048_scaled"
+        )
     if streaming_ram is not None:
         record["streaming_ram_fps"] = round(streaming_ram["fps"], 2)
         # methodology marker: best-of-up-to-3 under a wall-clock budget

@@ -60,11 +60,21 @@ class StreamingRunner:
         prefetch_depth: int = 4,
         decode_threads: int = 8,
         use_native_loader: Optional[bool] = None,
+        scaled_decode: bool = True,
     ) -> None:
+        """``scaled_decode`` (native loader only): libjpeg DCT-domain scaled
+        decode at the smallest fast scale_num/8 covering the letterbox
+        target — the streaming serving default, measured worth ~1.3-1.5x
+        decode frames/s/core on 2048px sources (Huffman entropy decode
+        bounds it; see native/loader.cc header).  Box geometry is unchanged;
+        decoded pixels differ slightly from full decode (different resample
+        chain), so the eval CLI's parity path does not run through here (it
+        uses the staged host-letterbox programs)."""
         self.pipe = pipe
         self.batch_size = batch_size
         self.inflight = inflight
         self.prefetch_depth = prefetch_depth
+        self.scaled_decode = scaled_decode
         self._native = None
         if use_native_loader is not False:
             try:
@@ -77,6 +87,7 @@ class StreamingRunner:
                     self._native = NativeBatchLoader(
                         threads=decode_threads,
                         out_size=pipe.cfg.det_input_size,
+                        scaled_decode=scaled_decode,
                     )
                 elif use_native_loader:
                     raise RuntimeError("native loader requested but unavailable")
@@ -239,18 +250,28 @@ class StreamingRunner:
         }
 
     def decode_probe(
-        self, paths: Sequence[str], threads: int = 1
+        self,
+        paths: Sequence[str],
+        threads: int = 1,
+        scaled_decode: Optional[bool] = None,
     ) -> Dict[str, float]:
         """Host JPEG-decode throughput (frames/s at ``threads`` decode
         threads), measured through the same loader the streaming path uses.
         ``streaming fps ~= min(device_fps, decode_fps_per_core * cores)`` —
-        the scaling model for provisioning decode cores per chip."""
+        the scaling model for provisioning decode cores per chip.
+        ``scaled_decode`` overrides the runner's setting (for A/B probes);
+        None inherits it."""
         loader = None
         if self._native is not None:
             from litepi_tpu.data.native_loader import NativeBatchLoader
 
             loader = NativeBatchLoader(
-                threads=threads, out_size=self.pipe.cfg.det_input_size
+                threads=threads,
+                out_size=self.pipe.cfg.det_input_size,
+                scaled_decode=(
+                    self.scaled_decode if scaled_decode is None
+                    else scaled_decode
+                ),
             )
         try:
             t0 = time.perf_counter()

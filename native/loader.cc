@@ -6,7 +6,7 @@
 // program is *input*: JPEG decode + letterbox at hundreds of frames per
 // second.  This library provides exactly that as a persistent worker pool:
 //
-//   lp_create_loader(threads, out_size, pad_value) -> handle
+//   lp_create_loader(threads, out_size, pad_value, scaled_decode) -> handle
 //   lp_load_batch(handle, paths[], n, out_u8, geoms_f32)  (parallel)
 //   lp_destroy_loader(handle)
 //
@@ -17,6 +17,22 @@
 // Output is BGR uint8 (the reference pipeline's colour order).
 // geoms rows are (ratio, dw, dh, orig_w, orig_h); decode failures yield
 // ratio = 0 and a fully padded canvas.
+//
+// scaled_decode != 0 enables libjpeg DCT-domain scaled decode: the smallest
+// FAST scale_num/8 whose decoded size still covers the letterbox resize
+// target.  Measured on this libjpeg-turbo 2.1.5: only N in {1,2,4,8} have
+// SIMD IDCT kernels — N=3 decodes FEWER pixels than N=4 yet is equal-or-
+// slower, and N in {5,6,7} are slower than full decode — so the policy
+// rounds ceil(r*8) up to the next of {1,2,4} and otherwise skips scaling.
+// The payoff is bounded by entropy (Huffman) decode, which no scale factor
+// touches: measured on a 2048^2 870KB photo-like source, full decode is
+// 21-22 ms/frame and the 1/8-scale floor is still 13 ms/frame, so the
+// end-to-end lever is ~1.25-1.45x per core, not the naive pixel ratio (7x).
+// Geometry is ALWAYS reported in ORIGINAL image coordinates, so downstream
+// box unmapping is unchanged.  Numerics: DCT-scaled decode + bilinear is NOT
+// bit-identical to full decode + bilinear (it is a different, slightly
+// box-filtered resample chain) — this is a serving throughput knob; the
+// parity/eval path keeps full decode (the default).
 //
 // Build: g++ -O3 -shared -fPIC loader.cc -o liblitepi_loader.so -ljpeg -lpthread
 
@@ -48,11 +64,25 @@ void error_exit_longjmp(j_common_ptr cinfo) {
 }
 
 struct Image {
-  int w = 0, h = 0;
-  std::vector<unsigned char> rgb;  // packed RGB from libjpeg
+  int w = 0, h = 0;    // decoded buffer dims (may be DCT-scaled)
+  int ow = 0, oh = 0;  // original (full-resolution) dims for geometry
+  std::vector<unsigned char> px;  // packed pixels from libjpeg (BGR on
+                                  // libjpeg-turbo via JCS_EXT_BGR, else RGB)
 };
 
-bool decode_jpeg(const char* path, Image* out) {
+// libjpeg-turbo decodes straight to BGR (the pipeline's colour order),
+// removing the swizzle and making the identity resize path a row memcpy.
+#ifdef JCS_EXTENSIONS
+constexpr J_COLOR_SPACE kOutColor = JCS_EXT_BGR;
+constexpr bool kDecodeIsBGR = true;
+#else
+constexpr J_COLOR_SPACE kOutColor = JCS_RGB;
+constexpr bool kDecodeIsBGR = false;
+#endif
+
+// target_size > 0 requests DCT-domain scaled decode: the smallest N/8 whose
+// scaled output still covers the letterbox resize target for target_size.
+bool decode_jpeg(const char* path, Image* out, int target_size) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
   jpeg_decompress_struct cinfo;
@@ -67,13 +97,39 @@ bool decode_jpeg(const char* path, Image* out) {
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
-  cinfo.out_color_space = JCS_RGB;
+  cinfo.out_color_space = kOutColor;
+  out->ow = static_cast<int>(cinfo.image_width);
+  out->oh = static_cast<int>(cinfo.image_height);
+  if (target_size > 0 && out->ow > 0 && out->oh > 0) {
+    // letterbox ratio on ORIGINAL dims; decode at the smallest FAST N/8 >= r
+    // so the scaled buffer is never smaller than the bilinear resize target.
+    // Only N in {1,2,4} beat full decode (SIMD IDCT kernels; see header).
+    const double r =
+        std::min(static_cast<double>(target_size) / out->oh,
+                 static_cast<double>(target_size) / out->ow);
+    if (r < 1.0) {
+      int num = static_cast<int>(std::ceil(r * 8.0));
+      if (num <= 1) {
+        num = 1;
+      } else if (num <= 2) {
+        num = 2;
+      } else if (num <= 4) {
+        num = 4;
+      } else {
+        num = 8;  // measured: N in {5,6,7} are SLOWER than full decode
+      }
+      if (num < 8) {
+        cinfo.scale_num = static_cast<unsigned>(num);
+        cinfo.scale_denom = 8;
+      }
+    }
+  }
   jpeg_start_decompress(&cinfo);
   out->w = static_cast<int>(cinfo.output_width);
   out->h = static_cast<int>(cinfo.output_height);
-  out->rgb.resize(static_cast<size_t>(out->w) * out->h * 3);
+  out->px.resize(static_cast<size_t>(out->w) * out->h * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
-    unsigned char* row = out->rgb.data() +
+    unsigned char* row = out->px.data() +
                          static_cast<size_t>(cinfo.output_scanline) * out->w * 3;
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
@@ -83,22 +139,27 @@ bool decode_jpeg(const char* path, Image* out) {
   return true;
 }
 
-// Bilinear sample of channel c at (x, y) from packed RGB (clamped borders).
-inline float sample(const Image& im, float x, float y, int c) {
-  x = x < 0 ? 0 : (x > im.w - 1 ? im.w - 1 : x);
-  y = y < 0 ? 0 : (y > im.h - 1 ? im.h - 1 : y);
-  int x0 = static_cast<int>(x), y0 = static_cast<int>(y);
-  int x1 = x0 + 1 < im.w ? x0 + 1 : im.w - 1;
-  int y1 = y0 + 1 < im.h ? y0 + 1 : im.h - 1;
-  float fx = x - x0, fy = y - y0;
-  const unsigned char* d = im.rgb.data();
-  auto at = [&](int yy, int xx) {
-    return static_cast<float>(d[(static_cast<size_t>(yy) * im.w + xx) * 3 + c]);
-  };
-  float top = at(y0, x0) * (1 - fx) + at(y0, x1) * fx;
-  float bot = at(y1, x0) * (1 - fx) + at(y1, x1) * fx;
-  return top * (1 - fy) + bot * fy;
-}
+// Precomputed 1-D bilinear taps (half-pixel centres, clamped borders —
+// cv2.INTER_LINEAR semantics).  Hoisting the coordinate math and clamping
+// out of the inner loop is worth ~8x over per-sample computation: the
+// resample was measured DOMINATING the whole load (10+ ms of a 16 ms 640px
+// letterbox) when done per pixel with clamped float sampling.
+struct Taps {
+  std::vector<int> i0, i1;   // byte offsets of the two source taps (x3)
+  std::vector<float> f;      // fraction toward i1
+  Taps(int src, int dst, int stride) : i0(dst), i1(dst), f(dst) {
+    const float scale = static_cast<float>(src) / dst;
+    for (int o = 0; o < dst; ++o) {
+      float s = (o + 0.5f) * scale - 0.5f;
+      s = s < 0 ? 0 : (s > src - 1 ? src - 1 : s);
+      int s0 = static_cast<int>(s);
+      int s1 = s0 + 1 < src ? s0 + 1 : src - 1;
+      i0[o] = s0 * stride;
+      i1[o] = s1 * stride;
+      f[o] = s - s0;
+    }
+  }
+};
 
 void letterbox_into(const Image& im, int out_size, int pad_value,
                     unsigned char* dst /* out_size*out_size*3, BGR */,
@@ -110,41 +171,71 @@ void letterbox_into(const Image& im, int out_size, int pad_value,
     geom[1] = geom[2] = geom[3] = geom[4] = 0.f;
     return;
   }
+  // geometry and the resize target come from the ORIGINAL dims — with a
+  // DCT-scaled decode the buffer (im.w, im.h) is smaller, but downstream box
+  // unmapping must see the full-resolution letterbox ratio/offsets
   const double r =
-      std::min(static_cast<double>(out_size) / im.h,
-               static_cast<double>(out_size) / im.w);
-  const int new_w = static_cast<int>(std::lround(im.w * r));
-  const int new_h = static_cast<int>(std::lround(im.h * r));
+      std::min(static_cast<double>(out_size) / im.oh,
+               static_cast<double>(out_size) / im.ow);
+  const int new_w = static_cast<int>(std::lround(im.ow * r));
+  const int new_h = static_cast<int>(std::lround(im.oh * r));
   const double dw = (out_size - new_w) / 2.0;
   const double dh = (out_size - new_h) / 2.0;
   const int left = static_cast<int>(std::lround(dw - 0.1));
   const int top = static_cast<int>(std::lround(dh - 0.1));
-  for (int oy = 0; oy < new_h; ++oy) {
-    const float sy = (oy + 0.5f) * (static_cast<float>(im.h) / new_h) - 0.5f;
-    unsigned char* row =
-        dst + (static_cast<size_t>(top + oy) * out_size + left) * 3;
-    for (int ox = 0; ox < new_w; ++ox) {
-      const float sx = (ox + 0.5f) * (static_cast<float>(im.w) / new_w) - 0.5f;
-      // write BGR from RGB source
-      row[ox * 3 + 0] =
-          static_cast<unsigned char>(sample(im, sx, sy, 2) + 0.5f);
-      row[ox * 3 + 1] =
-          static_cast<unsigned char>(sample(im, sx, sy, 1) + 0.5f);
-      row[ox * 3 + 2] =
-          static_cast<unsigned char>(sample(im, sx, sy, 0) + 0.5f);
+  const unsigned char* src = im.px.data();
+  if (im.w == new_w && im.h == new_h) {
+    // identity fast path (source already at the resize target — e.g. a
+    // 640px source, or a DCT scale that lands exactly)
+    for (int oy = 0; oy < new_h; ++oy) {
+      const unsigned char* srow = src + static_cast<size_t>(oy) * im.w * 3;
+      unsigned char* row =
+          dst + (static_cast<size_t>(top + oy) * out_size + left) * 3;
+      if (kDecodeIsBGR) {
+        std::memcpy(row, srow, static_cast<size_t>(new_w) * 3);
+      } else {
+        for (int ox = 0; ox < new_w; ++ox) {
+          row[ox * 3 + 0] = srow[ox * 3 + 2];
+          row[ox * 3 + 1] = srow[ox * 3 + 1];
+          row[ox * 3 + 2] = srow[ox * 3 + 0];
+        }
+      }
+    }
+  } else {
+    const Taps tx(im.w, new_w, 3);
+    const Taps ty(im.h, new_h, im.w * 3);
+    for (int oy = 0; oy < new_h; ++oy) {
+      const unsigned char* r0 = src + ty.i0[oy];
+      const unsigned char* r1 = src + ty.i1[oy];
+      const float fy = ty.f[oy];
+      unsigned char* row =
+          dst + (static_cast<size_t>(top + oy) * out_size + left) * 3;
+      for (int ox = 0; ox < new_w; ++ox) {
+        const int a = tx.i0[ox], b = tx.i1[ox];
+        const float fx = tx.f[ox];
+        for (int c = 0; c < 3; ++c) {
+          const float t = r0[a + c] + (r0[b + c] - r0[a + c]) * fx;
+          const float u = r1[a + c] + (r1[b + c] - r1[a + c]) * fx;
+          row[ox * 3 + (kDecodeIsBGR ? c : 2 - c)] =
+              static_cast<unsigned char>(t + (u - t) * fy + 0.5f);
+        }
+      }
     }
   }
   geom[0] = static_cast<float>(r);
   geom[1] = static_cast<float>(dw);
   geom[2] = static_cast<float>(dh);
-  geom[3] = static_cast<float>(im.w);
-  geom[4] = static_cast<float>(im.h);
+  geom[3] = static_cast<float>(im.ow);
+  geom[4] = static_cast<float>(im.oh);
 }
 
 class Loader {
  public:
-  Loader(int threads, int out_size, int pad_value)
-      : out_size_(out_size), pad_value_(pad_value), stop_(false) {
+  Loader(int threads, int out_size, int pad_value, int scaled_decode)
+      : out_size_(out_size),
+        pad_value_(pad_value),
+        scaled_decode_(scaled_decode != 0),
+        stop_(false) {
     for (int i = 0; i < threads; ++i) {
       workers_.emplace_back([this] { WorkerLoop(); });
     }
@@ -168,7 +259,8 @@ class Loader {
         const int i = next.fetch_add(1);
         if (i >= n) break;
         Image im;
-        if (decode_jpeg(paths[i], &im)) ok.fetch_add(1);
+        if (decode_jpeg(paths[i], &im, scaled_decode_ ? out_size_ : 0))
+          ok.fetch_add(1);
         letterbox_into(
             im, out_size_, pad_value_,
             out + static_cast<size_t>(i) * out_size_ * out_size_ * 3,
@@ -208,6 +300,7 @@ class Loader {
 
   const int out_size_;
   const int pad_value_;
+  const bool scaled_decode_;
   bool stop_;
   std::mutex mu_;
   std::condition_variable cv_;
@@ -219,8 +312,9 @@ class Loader {
 
 extern "C" {
 
-void* lp_create_loader(int threads, int out_size, int pad_value) {
-  return new Loader(threads, out_size, pad_value);
+void* lp_create_loader(int threads, int out_size, int pad_value,
+                       int scaled_decode) {
+  return new Loader(threads, out_size, pad_value, scaled_decode);
 }
 
 void lp_destroy_loader(void* handle) {
