@@ -166,7 +166,9 @@ def main(argv=None) -> int:
             print(f"error: --detector_param: {e}", file=sys.stderr)
             return 2
         try:
-            inferred_cfg = infer_detector_config(param_layers)
+            inferred_cfg = infer_detector_config(
+                param_layers, args.det_input_size
+            )
             inferred_variant = inferred_cfg.name
         except ValueError as err_plus:
             # not the yolo_plus family — the reference also deploys
@@ -176,7 +178,10 @@ def main(argv=None) -> int:
                 ("yolov5nu", "yolov5n"), ("yolov11n", "yolov11n")
             ):
                 try:
-                    verify_ncnn_variant_topology(param_layers, ncnn_variant)
+                    verify_ncnn_variant_topology(
+                        param_layers, ncnn_variant,
+                        input_size=args.det_input_size,
+                    )
                     inferred_variant = cli_name
                     break
                 except ValueError:

@@ -243,6 +243,13 @@ class PipelineConfig:
     # window size for the "windowed" impl (the pallas kernel uses its own
     # static 128x256 slab)
     roi_window: int = 128
+    # Images vectorised per sequential step of the dense ROI crop.  At the
+    # serving crop budget (8 slots/frame) the per-image loop overhead
+    # dominates the shrunken matmuls: chunk 8 measured 0.99 vs 1.45 ms at
+    # B=128 on-chip (round 5, bit-parity checked); chunk 32 re-inflates the
+    # bounded intermediate and loses (2.2 ms).  Non-divisors of the batch
+    # fall back to the largest divisor, so the default is safe at any B.
+    roi_chunk: int = 8
     # Colour order of HOST-provided frames/crops.  Model compute is always
     # RGB (the reference converts BGR->RGB before both stages — e2e.py:224,
     # :385); "bgr" makes the jitted programs reverse the channel axis at

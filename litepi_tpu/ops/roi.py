@@ -54,13 +54,14 @@ def interp_weights(
     return jnp.maximum(0.0, 1.0 - jnp.abs(u[..., None] - grid))
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
 def crop_and_resize(
     images: jnp.ndarray,
     boxes: jnp.ndarray,
     valid: jnp.ndarray,
     out_size: int = 64,
     compute_dtype: jnp.dtype = jnp.float32,
+    chunk: int = 1,
 ) -> jnp.ndarray:
     """Extract a fixed budget of ROIs per image, entirely on device.
 
@@ -71,33 +72,61 @@ def crop_and_resize(
     valid : (B, D) bool — invalid slots produce zero crops
     compute_dtype : matmul precision; bfloat16 halves the crop cost at
         imperceptible quality loss (pixel values are 8-bit to begin with)
+    chunk : images processed per sequential step.  At the round-4 serving
+        budget (D=8 slots/frame) the per-image ``lax.map`` loop overhead
+        dominates the shrunken matmuls; vectorising ``chunk`` images per
+        step measured 0.99 vs 1.45 ms at B=128/D=8 on-chip (round 5) while
+        a large chunk re-inflates the (k, D, out, W, C) intermediate the
+        sequential form exists to bound (chunk=32 measured 2.2 ms; the
+        earlier D=16/64 measurements where chunking LOST are in PARITY).
+        Values that do not divide B fall back to the largest divisor.
 
     Returns (B, D, out_size, out_size, 3) float32.
     """
     h, w = images.shape[1], images.shape[2]
 
-    def per_image(args):
-        image, img_boxes, img_valid = args
-        x1 = jnp.floor(img_boxes[:, 0])
-        y1 = jnp.floor(img_boxes[:, 1])
-        bw = jnp.maximum(jnp.floor(img_boxes[:, 2]) - x1, 1.0)
-        bh = jnp.maximum(jnp.floor(img_boxes[:, 3]) - y1, 1.0)
-        wy = interp_weights(y1, bh, out_size, h).astype(compute_dtype)
-        wx = interp_weights(x1, bw, out_size, w).astype(compute_dtype)
+    def crop_block(image, img_boxes, img_valid):
+        """(..., H, W, 3), (..., D, 4), (..., D) with ... = () or (k,)."""
+        x1 = jnp.floor(img_boxes[..., 0])
+        y1 = jnp.floor(img_boxes[..., 1])
+        bw = jnp.maximum(jnp.floor(img_boxes[..., 2]) - x1, 1.0)
+        bh = jnp.maximum(jnp.floor(img_boxes[..., 3]) - y1, 1.0)
+        iw = lambda s, e, n, lim: interp_weights(s, e, n, lim)  # noqa: E731
+        if img_boxes.ndim == 3:  # chunked: vmap the weight build over k
+            wy = jax.vmap(lambda a, b: iw(a, b, out_size, h))(y1, bh)
+            wx = jax.vmap(lambda a, b: iw(a, b, out_size, w))(x1, bw)
+            eq_y, eq_x = "kdoh,khwc->kdowc", "kdpw,kdowc->kdopc"
+        else:
+            wy, wx = iw(y1, bh, out_size, h), iw(x1, bw, out_size, w)
+            eq_y, eq_x = "doh,hwc->dowc", "dpw,dowc->dopc"
         img = image.astype(compute_dtype)
         # y-stage: one (D*out, H) x (H, W*C) matmul for all crops
         t = jnp.einsum(
-            "doh,hwc->dowc", wy, img, preferred_element_type=jnp.float32
+            eq_y, wy.astype(compute_dtype), img,
+            preferred_element_type=jnp.float32,
         ).astype(compute_dtype)
         # x-stage: D-batched (out, W) contraction
         crops = jnp.einsum(
-            "dpw,dowc->dopc", wx, t, preferred_element_type=jnp.float32
+            eq_x, wx.astype(compute_dtype), t,
+            preferred_element_type=jnp.float32,
         )
-        return jnp.where(img_valid[:, None, None, None], crops, 0.0)
+        return jnp.where(img_valid[..., None, None, None], crops, 0.0)
 
+    b = images.shape[0]
+    k = max(c for c in range(1, min(chunk, b) + 1) if b % c == 0)
+    if k > 1:
+        out = jax.lax.map(
+            lambda a: crop_block(*a),
+            (
+                images.reshape(b // k, k, *images.shape[1:]),
+                boxes.reshape(b // k, k, *boxes.shape[1:]),
+                valid.reshape(b // k, k, *valid.shape[1:]),
+            ),
+        )
+        return out.reshape(b, *out.shape[2:])
     # sequential over images bounds the (D, out, W, C) intermediate to one
     # image's worth; each image still issues MXU-saturating matmuls
-    return jax.lax.map(per_image, (images, boxes, valid))
+    return jax.lax.map(lambda a: crop_block(*a), (images, boxes, valid))
 
 
 def _window_hat(

@@ -333,6 +333,7 @@ class TwoStagePipeline:
                 v,
                 cfg.cls_input_size,
                 self.det_model.dtype,
+                cfg.roi_chunk,
             )
         crops = crops * (1.0 / 255.0)
         n, d = crops.shape[0], crops.shape[1]

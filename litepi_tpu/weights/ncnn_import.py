@@ -660,21 +660,30 @@ def convert_detector_ncnn(
     return convert_detector_state_dict(sd, cfg.depths), cfg
 
 
-def infer_detector_config(layers: Sequence[NcnnLayer]) -> DetectorConfig:
+def infer_detector_config(
+    layers: Sequence[NcnnLayer], input_size: int = 640
+) -> DetectorConfig:
     """Pick the config whose topology matches the graph: yolo_plus v2/v1
     or the stock yolov8n baseline (src/*/convert/model/yolo8 — same
-    emission plan, v8n widths)."""
+    emission plan, v8n widths).  ``input_size`` sizes the decode subgraph's
+    anchor-count constants — graphs emitted at a non-640 deployment
+    resolution (apps/convert.py --emit_input_size) verify against the same
+    family at that resolution."""
+    import dataclasses
+
     from litepi_tpu.core.types import YOLO_PLUS_V1, YOLO_PLUS_V2, YOLOV8N
 
     errs = []
     for cfg in (YOLO_PLUS_V2, YOLO_PLUS_V1, YOLOV8N):
+        cfg = dataclasses.replace(cfg, input_size=input_size)
         try:
             verify_ncnn_topology(layers, cfg)
             return cfg
         except ValueError as e:
             errs.append(str(e).splitlines()[0])
     raise ValueError(
-        "graph matches no yolo_plus/yolov8n config: " + "; ".join(errs)
+        "graph matches no yolo_plus/yolov8n config "
+        f"at input_size {input_size}: " + "; ".join(errs)
     )
 
 
