@@ -51,11 +51,17 @@ class MeshServer:
         return self.mesh.shape["data"]
 
     def serve(
-        self, frames: np.ndarray, conf_threshold: Optional[float] = None
+        self,
+        frames: np.ndarray,
+        conf_threshold: Optional[float] = None,
+        area_scale: Optional[np.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
         """Run the fused program with the batch sharded over the data axis.
 
         frames: (B, H, W, 3) uint8 with B % data_parallelism == 0.
+        area_scale: optional (B,) per-frame box-area rescale for the
+        min-area floor (the native pre-letterboxed feed passes 1/ratio^2 —
+        see TwoStagePipeline.run_fused); sharded alongside the batch.
         """
         n = self.data_parallelism
         if frames.shape[0] % n:
@@ -68,7 +74,11 @@ class MeshServer:
             else conf_threshold
         )
         frames = jax.device_put(frames, self._batch_sharding)
-        return self._run(frames, conf)
+        if area_scale is not None:
+            area_scale = jax.device_put(
+                np.asarray(area_scale, np.float32), self._batch_sharding
+            )
+        return self._run(frames, conf, area_scale)
 
     def serve_local(
         self, local_frames: np.ndarray, conf_threshold: Optional[float] = None
@@ -92,8 +102,11 @@ class MeshServer:
         )
         return self._run(frames, conf)
 
-    def _run(self, frames, conf: float) -> Dict[str, jnp.ndarray]:
+    def _run(
+        self, frames, conf: float, area_scale=None
+    ) -> Dict[str, jnp.ndarray]:
         hw = (int(frames.shape[1]), int(frames.shape[2]))
         return self.pipe._fused_jit(
-            self.det_vars, self.cls_vars, hw, jnp.float32(conf), frames
+            self.det_vars, self.cls_vars, hw, jnp.float32(conf), frames,
+            area_scale,
         )

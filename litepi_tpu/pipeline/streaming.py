@@ -22,11 +22,22 @@ from __future__ import annotations
 import queue
 import threading
 import time
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import (
+    TYPE_CHECKING,
+    Dict,
+    Iterator,
+    List,
+    Optional,
+    Sequence,
+    Tuple,
+)
 
 import numpy as np
 
 from litepi_tpu.pipeline.two_stage import TwoStagePipeline
+
+if TYPE_CHECKING:  # pragma: no cover - typing only
+    from litepi_tpu.pipeline.serving import MeshServer
 
 
 def _cv2_load_batch(paths: Sequence[str], out_size: int):
@@ -61,6 +72,7 @@ class StreamingRunner:
         decode_threads: int = 8,
         use_native_loader: Optional[bool] = None,
         scaled_decode: bool = True,
+        server: Optional["MeshServer"] = None,
     ) -> None:
         """``scaled_decode`` (native loader only): libjpeg DCT-domain scaled
         decode at the smallest fast scale_num/8 covering the letterbox
@@ -69,8 +81,16 @@ class StreamingRunner:
         bounds it; see native/loader.cc header).  Box geometry is unchanged;
         decoded pixels differ slightly from full decode (different resample
         chain), so the eval CLI's parity path does not run through here (it
-        uses the staged host-letterbox programs)."""
+        uses the staged host-letterbox programs).
+
+        ``server`` composes the window with multi-chip serving: batches
+        dispatch through ``MeshServer.serve`` (batch sharded over the mesh's
+        data axis, params replicated) instead of the single-device fused
+        program — the pod-serving shape, where per-host decode pools feed a
+        sharded device program.  ``batch_size`` must then be divisible by
+        the mesh's data parallelism."""
         self.pipe = pipe
+        self.server = server
         self.batch_size = batch_size
         self.inflight = inflight
         self.prefetch_depth = prefetch_depth
@@ -173,9 +193,14 @@ class StreamingRunner:
                 if geoms is not None
                 else None
             )
-            out = self.pipe.run_fused(
-                frames, conf_threshold, area_scale=area_scale
-            )  # async dispatch
+            if self.server is not None:
+                out = self.server.serve(
+                    frames, conf_threshold, area_scale=area_scale
+                )  # async dispatch, batch sharded over the mesh
+            else:
+                out = self.pipe.run_fused(
+                    frames, conf_threshold, area_scale=area_scale
+                )  # async dispatch
             window.append((batch_paths, out, geoms))
             if len(window) > self.inflight:
                 yield finish(window.pop(0))
