@@ -36,12 +36,15 @@ def synth_dataset(tmp_path_factory):
     rng = np.random.default_rng(3)
     for i in range(4):
         img = rng.integers(0, 90, (200, 320, 3), dtype=np.uint8)
-        x, y = 40 + (37 * i) % 150, 50 + (23 * i) % 80
-        cv2.rectangle(img, (x, y), (x + 40, y + 40), (255, 255, 255), -1)
+        # 80 px box: letterboxing 320x200 -> 160 halves it to ~40 canvas px,
+        # inside the trained 24-48 px range (a 40 px source box lands at
+        # ~20 canvas px, below what the short training recipe detects)
+        x, y = 40 + (37 * i) % 150, 30 + (23 * i) % 60
+        cv2.rectangle(img, (x, y), (x + 80, y + 80), (255, 255, 255), -1)
         cv2.imwrite(str(img_dir / f"img{i}.jpg"), img)
-        cx, cy = (x + 20) / 320, (y + 20) / 200
+        cx, cy = (x + 40) / 320, (y + 40) / 200
         (lbl_dir / f"img{i}.txt").write_text(
-            f"{i % 3} {cx} {cy} {40 / 320} {40 / 200}\n"
+            f"{i % 3} {cx} {cy} {80 / 320} {80 / 200}\n"
         )
     return img_dir, lbl_dir
 
