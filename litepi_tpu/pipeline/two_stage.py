@@ -158,7 +158,8 @@ class TwoStagePipeline:
         if self._candidate_decoder is not None:
             return self._candidate_decoder(out, k)
         return decode_candidates(
-            out, self._anchors, self._strides, self.cfg.detector.reg_max, k
+            out, self._anchors, self._strides, self.cfg.detector.reg_max, k,
+            self.cfg.candidate_selector,
         )
 
     def detect(

@@ -20,4 +20,5 @@ exec python -m pytest -q \
   tests/test_evals.py \
   tests/test_level0_evals.py \
   tests/test_small_tools.py \
+  tests/test_native_loader.py \
   "$@"

@@ -176,7 +176,9 @@ def main() -> int:
         shift = jnp.asarray([dw, dh, dw, dh], jnp.float32)
         ob = clip_boxes((b - shift) / ratio, size, size)
         v = v & (box_area(ob) >= cfg.nms.min_area)
-        crops = crop_and_resize(fr, ob, v, cfg.cls_input_size, dtype)
+        crops = crop_and_resize(
+            fr, ob, v, cfg.cls_input_size, dtype, cfg.roi_chunk
+        )
         return crops, s, v
 
     # stem prefix: apply just the stem ConvBN with its own params as root
