@@ -97,6 +97,8 @@ def main() -> int:
     ap.add_argument("--crop-det-budget", type=int, default=8)
     ap.add_argument("--cls-crop-budget", type=int, default=None,
                     help="default 4*batch (bench.py's serving default)")
+    ap.add_argument("--candidate-selector", default="approx",
+                    choices=["exact", "approx"])
     args = ap.parse_args()
 
     from litepi_tpu.core.types import NMSConfig, PipelineConfig
@@ -120,6 +122,7 @@ def main() -> int:
             else args.cls_crop_budget
         ),
         crop_det_budget=args.crop_det_budget,
+        candidate_selector=args.candidate_selector,
     )
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     pipe = TwoStagePipeline.initialize(cfg, seed=0, dtype=dtype)
@@ -159,6 +162,7 @@ def main() -> int:
             pipe._strides,
             dcfg.reg_max,
             cfg.nms.max_candidates,
+            cfg.candidate_selector,
         )
 
     def through_nms(fr):
@@ -224,6 +228,9 @@ def main() -> int:
         d_ms = ms - prev_ms
         d_fl = fl - prev_fl
         d_by = by - prev_by
+        # a stage within subtraction noise of zero (NMS at the serving
+        # budget) would otherwise yield absurd derived rates
+        noise = d_ms < 0.05
         rows.append(
             {
                 "stage": name,
@@ -231,8 +238,12 @@ def main() -> int:
                 "stage_ms": round(d_ms, 3),
                 "stage_gflops": round(d_fl / 1e9, 2),
                 "stage_mb": round(d_by / 1e6, 1),
-                "achieved_tflops": round(d_fl / max(d_ms, 1e-9) / 1e9, 1),
-                "achieved_gbs": round(d_by / max(d_ms, 1e-9) / 1e6, 1),
+                "achieved_tflops": (
+                    None if noise else round(d_fl / d_ms / 1e9, 1)
+                ),
+                "achieved_gbs": (
+                    None if noise else round(d_by / d_ms / 1e6, 1)
+                ),
             }
         )
         prev_ms, prev_fl, prev_by = ms, fl, by
