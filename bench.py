@@ -141,23 +141,32 @@ def main() -> None:
     conf = jnp.float32(cfg.benchmark_conf)
     n_iters = args.iters
 
-    if args.mode == "scan":
+    def make_fused_scan(pipe_obj, length):
+        """Jitted length-iteration scan of pipe_obj's fused step.
+
+        A data-dependent carry perturbation chains iterations so XLA cannot
+        collapse the loop; the single-element in-place update keeps the
+        dependency while avoiding a full-batch uint8 read+write per
+        iteration (~0.7 ms/batch of pure measurement overhead at B=128,
+        measured round 2b).  Shared by the headline, real-weights and
+        latency measurements (one methodology, one definition)."""
 
         @jax.jit
-        def bench_n(det_vars, cls_vars, frames):
+        def bench(det_vars, cls_vars, frames):
             def body(carry, _):
-                out = pipe._fused_jit(
+                out = pipe_obj._fused_jit(
                     det_vars, cls_vars, (640, 640), conf, carry
                 )
-                # data-dependent perturbation chains iterations so XLA cannot
-                # collapse the loop.  A single-element in-place carry update
-                # keeps the dependency while avoiding a full-batch uint8
-                # read+write per iteration (~0.7 ms/batch of pure
-                # measurement overhead at B=128, measured round 2b)
                 bump = (out["cls_labels"].sum() % 2).astype(jnp.uint8)
                 return carry.at[0, 0, 0, 0].add(bump), out["valid"].sum()
-            _, counts = jax.lax.scan(body, frames, None, length=n_iters)
+
+            _, counts = jax.lax.scan(body, frames, None, length=length)
             return counts
+
+        return bench
+
+    if args.mode == "scan":
+        bench_n = make_fused_scan(pipe, n_iters)
 
         # NB: time until a HOST FETCH of the small per-iteration outputs
         # completes — on relayed/experimental platforms block_until_ready has
@@ -222,19 +231,7 @@ def main() -> None:
             pipe_r = TwoStagePipeline(
                 cfg_r, det_vars_r, pipe.cls_vars, dtype=dtype
             )
-
-            @jax.jit
-            def bench_real(det_vars, cls_vars, frames):
-                def body(carry, _):
-                    out = pipe_r._fused_jit(
-                        det_vars, cls_vars, (640, 640), conf, carry
-                    )
-                    bump = (out["cls_labels"].sum() % 2).astype(jnp.uint8)
-                    return carry.at[0, 0, 0, 0].add(bump), out["valid"].sum()
-
-                _, counts = jax.lax.scan(body, frames, None, length=n_iters)
-                return counts
-
+            bench_real = make_fused_scan(pipe_r, n_iters)
             np.asarray(bench_real(pipe_r.det_vars, pipe_r.cls_vars, frames))
             t0 = time.perf_counter()
             np.asarray(bench_real(pipe_r.det_vars, pipe_r.cls_vars, frames))
@@ -271,21 +268,8 @@ def main() -> None:
             np.resize(frames_host, (b,) + frames_host.shape[1:])
         )
 
-        def make_scan(length):
-            @jax.jit
-            def bench_l(det_vars, cls_vars, frames):
-                def body(carry, _):
-                    out = pipe._fused_jit(
-                        det_vars, cls_vars, (640, 640), conf, carry
-                    )
-                    bump = (out["cls_labels"].sum() % 2).astype(jnp.uint8)
-                    return carry.at[0, 0, 0, 0].add(bump), out["valid"].sum()
-                _, counts = jax.lax.scan(body, frames, None, length=length)
-                return counts
-            return bench_l
-
         L1, L2 = 16, 64
-        s1, s2 = make_scan(L1), make_scan(L2)
+        s1, s2 = make_fused_scan(pipe, L1), make_fused_scan(pipe, L2)
         samples = []
         for rep in range(6):
             t0 = time.perf_counter()

@@ -41,17 +41,30 @@ def _load_library() -> Optional[ctypes.CDLL]:
         if not os.path.exists(src):
             _build_error = f"native source missing: {src}"
             return None
+        # build to a per-process temp path and rename into place: concurrent
+        # processes (bench + smoke suite both see a stale .so) must never
+        # dlopen a half-written file, and a failed rebuild must not clobber
+        # a still-working stale .so (rename is atomic on POSIX)
+        tmp = f"{_SO_PATH}.tmp.{os.getpid()}"
         cmd = [
             "g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-Wall",
-            "-shared", src, "-o", _SO_PATH, "-ljpeg", "-lpthread",
+            "-shared", src, "-o", tmp, "-ljpeg", "-lpthread",
         ]
         try:
             subprocess.run(
                 cmd, check=True, capture_output=True, text=True, timeout=120
             )
+            os.replace(tmp, _SO_PATH)
         except (subprocess.CalledProcessError, OSError, subprocess.TimeoutExpired) as e:
-            _build_error = getattr(e, "stderr", str(e)) or str(e)
-            return None
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            if not os.path.exists(_SO_PATH):
+                _build_error = getattr(e, "stderr", str(e)) or str(e)
+                return None
+            # toolchain unavailable but a previously built .so exists:
+            # keep serving the stale build rather than latching an error
     try:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError as e:  # pragma: no cover - loadable after successful build

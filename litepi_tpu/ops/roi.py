@@ -86,47 +86,41 @@ def crop_and_resize(
     h, w = images.shape[1], images.shape[2]
 
     def crop_block(image, img_boxes, img_valid):
-        """(..., H, W, 3), (..., D, 4), (..., D) with ... = () or (k,)."""
+        """(k, H, W, 3), (k, D, 4), (k, D) -> (k, D, out, out, 3)."""
         x1 = jnp.floor(img_boxes[..., 0])
         y1 = jnp.floor(img_boxes[..., 1])
         bw = jnp.maximum(jnp.floor(img_boxes[..., 2]) - x1, 1.0)
         bh = jnp.maximum(jnp.floor(img_boxes[..., 3]) - y1, 1.0)
-        iw = lambda s, e, n, lim: interp_weights(s, e, n, lim)  # noqa: E731
-        if img_boxes.ndim == 3:  # chunked: vmap the weight build over k
-            wy = jax.vmap(lambda a, b: iw(a, b, out_size, h))(y1, bh)
-            wx = jax.vmap(lambda a, b: iw(a, b, out_size, w))(x1, bw)
-            eq_y, eq_x = "kdoh,khwc->kdowc", "kdpw,kdowc->kdopc"
-        else:
-            wy, wx = iw(y1, bh, out_size, h), iw(x1, bw, out_size, w)
-            eq_y, eq_x = "doh,hwc->dowc", "dpw,dowc->dopc"
+        wy = jax.vmap(lambda a, b: interp_weights(a, b, out_size, h))(y1, bh)
+        wx = jax.vmap(lambda a, b: interp_weights(a, b, out_size, w))(x1, bw)
         img = image.astype(compute_dtype)
-        # y-stage: one (D*out, H) x (H, W*C) matmul for all crops
+        # y-stage: one (D*out, H) x (H, W*C) matmul per image for all crops
         t = jnp.einsum(
-            eq_y, wy.astype(compute_dtype), img,
+            "kdoh,khwc->kdowc", wy.astype(compute_dtype), img,
             preferred_element_type=jnp.float32,
         ).astype(compute_dtype)
         # x-stage: D-batched (out, W) contraction
         crops = jnp.einsum(
-            eq_x, wx.astype(compute_dtype), t,
+            "kdpw,kdowc->kdopc", wx.astype(compute_dtype), t,
             preferred_element_type=jnp.float32,
         )
         return jnp.where(img_valid[..., None, None, None], crops, 0.0)
 
+    # sequential over image chunks bounds the (k, D, out, W, C) intermediate
+    # to k images' worth; each step still issues MXU-saturating matmuls
     b = images.shape[0]
-    k = max(c for c in range(1, min(chunk, b) + 1) if b % c == 0)
-    if k > 1:
-        out = jax.lax.map(
-            lambda a: crop_block(*a),
-            (
-                images.reshape(b // k, k, *images.shape[1:]),
-                boxes.reshape(b // k, k, *boxes.shape[1:]),
-                valid.reshape(b // k, k, *valid.shape[1:]),
-            ),
-        )
-        return out.reshape(b, *out.shape[2:])
-    # sequential over images bounds the (D, out, W, C) intermediate to one
-    # image's worth; each image still issues MXU-saturating matmuls
-    return jax.lax.map(lambda a: crop_block(*a), (images, boxes, valid))
+    k = max(
+        (c for c in range(1, min(chunk, b) + 1) if b % c == 0), default=1
+    )
+    out = jax.lax.map(
+        lambda a: crop_block(*a),
+        (
+            images.reshape(b // k, k, *images.shape[1:]),
+            boxes.reshape(b // k, k, *boxes.shape[1:]),
+            valid.reshape(b // k, k, *valid.shape[1:]),
+        ),
+    )
+    return out.reshape(b, *out.shape[2:])
 
 
 def _window_hat(

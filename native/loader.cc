@@ -92,6 +92,11 @@ bool decode_jpeg(const char* path, Image* out, int target_size) {
   if (setjmp(jerr.jump)) {
     jpeg_destroy_decompress(&cinfo);
     std::fclose(f);
+    // a mid-scanline error (truncated/corrupt stream) has already set
+    // w/h/ow/oh and partially filled px — zero the dims so letterbox_into
+    // honours the documented failure contract (ratio = 0, padded canvas)
+    out->w = out->h = out->ow = out->oh = 0;
+    out->px.clear();
     return false;
   }
   jpeg_create_decompress(&cinfo);
@@ -145,8 +150,11 @@ bool decode_jpeg(const char* path, Image* out, int target_size) {
 // resample was measured DOMINATING the whole load (10+ ms of a 16 ms 640px
 // letterbox) when done per pixel with clamped float sampling.
 struct Taps {
-  std::vector<int> i0, i1;   // byte offsets of the two source taps (x3)
-  std::vector<float> f;      // fraction toward i1
+  // byte offsets of the two source taps; ptrdiff_t because a row offset is
+  // s0 * (w*3), which overflows int for legal JPEGs beyond ~715 MP (the
+  // replaced per-sample code indexed with size_t)
+  std::vector<ptrdiff_t> i0, i1;
+  std::vector<float> f;  // fraction toward i1
   Taps(int src, int dst, int stride) : i0(dst), i1(dst), f(dst) {
     const float scale = static_cast<float>(src) / dst;
     for (int o = 0; o < dst; ++o) {
@@ -154,8 +162,8 @@ struct Taps {
       s = s < 0 ? 0 : (s > src - 1 ? src - 1 : s);
       int s0 = static_cast<int>(s);
       int s1 = s0 + 1 < src ? s0 + 1 : src - 1;
-      i0[o] = s0 * stride;
-      i1[o] = s1 * stride;
+      i0[o] = static_cast<ptrdiff_t>(s0) * stride;
+      i1[o] = static_cast<ptrdiff_t>(s1) * stride;
       f[o] = s - s0;
     }
   }
@@ -211,7 +219,7 @@ void letterbox_into(const Image& im, int out_size, int pad_value,
       unsigned char* row =
           dst + (static_cast<size_t>(top + oy) * out_size + left) * 3;
       for (int ox = 0; ox < new_w; ++ox) {
-        const int a = tx.i0[ox], b = tx.i1[ox];
+        const ptrdiff_t a = tx.i0[ox], b = tx.i1[ox];
         const float fx = tx.f[ox];
         for (int c = 0; c < 3; ++c) {
           const float t = r0[a + c] + (r0[b + c] - r0[a + c]) * fx;

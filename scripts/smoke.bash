@@ -5,6 +5,9 @@
 # gate commits (that's how the 03eb66e regression reached main).  This set
 # deliberately contains NO model-compile tests: pure-numpy ops/evals
 # contracts, artifact-routing predicates, and the convert-CLI round trip.
+# The native-loader wall-clock speedup assertion is deselected here (it is
+# load-sensitive; a contended box must not flake the commit gate) — it
+# still runs in the full lane, and the measured number lands in BENCH.
 #
 # Usage:   bash scripts/smoke.bash
 # Full lane (run before ending a work session, not per commit):
@@ -21,4 +24,5 @@ exec python -m pytest -q \
   tests/test_level0_evals.py \
   tests/test_small_tools.py \
   tests/test_native_loader.py \
+  --deselect tests/test_native_loader.py::test_scaled_decode_speedup_on_large_source \
   "$@"

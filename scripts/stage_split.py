@@ -247,10 +247,10 @@ def main() -> int:
             }
         )
         prev_ms, prev_fl, prev_by = ms, fl, by
+        tf, gb = rows[-1]["achieved_tflops"], rows[-1]["achieved_gbs"]
         progress(
             f"{name:10s} cum {ms:8.3f} ms  stage {d_ms:7.3f} ms  "
-            f"{rows[-1]['achieved_tflops']:6.1f} TF/s  "
-            f"{rows[-1]['achieved_gbs']:7.1f} GB/s"
+            + (f"{tf:6.1f} TF/s  {gb:7.1f} GB/s" if not noise else "(noise)")
         )
 
     sweep = {}

@@ -141,3 +141,49 @@ def test_scaled_decode_speedup_on_large_source(tmp_path):
 
     t_full, t_scaled = probe(False), probe(True)
     assert t_scaled < t_full / 1.15, (t_full, t_scaled)
+
+
+def test_damaged_jpegs_match_cv2_contract(tmp_path):
+    """Two classes of damage, two contracts (both mirroring cv2):
+
+    - TRUNCATED stream (valid header): libjpeg decodes leniently with a
+      grey fill and a warning — exactly like cv2.imread — so the frame
+      reports VALID geometry and partial pixels (it is not a failure).
+    - HARD error after the header (here: SOF width patched to 0, which
+      cv2.imread also rejects with None): the failure contract — ratio 0,
+      fully padded canvas.  The error path zeroes the decoded dims so a
+      post-header longjmp can never letterbox a half-decoded buffer with
+      valid-looking geometry (round-5 fix in native/loader.cc)."""
+    import cv2
+
+    rng = np.random.default_rng(2)
+    img = cv2.resize(
+        rng.integers(0, 255, (64, 64, 3), dtype=np.uint8), (1024, 1024)
+    )
+    p_ok = str(tmp_path / "ok.jpg")
+    cv2.imwrite(p_ok, img, [cv2.IMWRITE_JPEG_QUALITY, 92])
+    data = open(p_ok, "rb").read()
+
+    p_trunc = str(tmp_path / "trunc.jpg")
+    open(p_trunc, "wb").write(data[: len(data) * 3 // 5])
+    assert cv2.imread(p_trunc) is not None  # cv2 is lenient too
+
+    broken = bytearray(data)
+    sof = broken.find(b"\xff\xc0")
+    broken[sof + 7] = broken[sof + 8] = 0  # width := 0
+    p_hard = str(tmp_path / "zerow.jpg")
+    open(p_hard, "wb").write(bytes(broken))
+    assert cv2.imread(p_hard) is None  # cv2 rejects it
+
+    loader = native_loader.NativeBatchLoader(threads=2, out_size=320)
+    canvases, geoms = loader.load([p_trunc, p_hard, p_ok])
+    loader.close()
+    # truncated: lenient decode, valid geometry, same dims as the original
+    assert geoms[0, 0] > 0
+    np.testing.assert_array_equal(geoms[0, 3:5], [1024, 1024])
+    # hard error: failure contract
+    assert geoms[1, 0] == 0.0
+    assert (canvases[1] == 114).all()
+    # the good frame in the same batch decodes normally
+    assert geoms[2, 0] > 0
+    assert not (canvases[2] == 114).all()
