@@ -165,27 +165,41 @@ def main(argv=None) -> int:
         except (OSError, ValueError) as e:
             print(f"error: --detector_param: {e}", file=sys.stderr)
             return 2
-        try:
-            inferred_cfg = infer_detector_config(
-                param_layers, args.det_input_size
-            )
-            inferred_variant = inferred_cfg.name
-        except ValueError as err_plus:
+        # the graph's decode-reshape constants are fixed at EMISSION
+        # resolution, which is independent of the eval resolution (conv
+        # weights are resolution-free): try the CLI's size first (artifacts
+        # emitted via apps/convert.py --emit_input_size), then the
+        # reference's canonical 640 (all shipped exports)
+        probe_sizes = list(dict.fromkeys([args.det_input_size, 640]))
+        err_plus = None
+        inferred_cfg = None
+        for sz in probe_sizes:
+            try:
+                inferred_cfg = infer_detector_config(param_layers, sz)
+                inferred_variant = inferred_cfg.name
+                break
+            except ValueError as e:
+                err_plus = e
+        if inferred_cfg is None:
             # not the yolo_plus family — the reference also deploys
             # yolov5nu/yolov11n NCNN graphs (src/*/convert/model/yolo{5,11});
             # all its exports are single-class, which the probe assumes
             for ncnn_variant, cli_name in (
                 ("yolov5nu", "yolov5n"), ("yolov11n", "yolov11n")
             ):
-                try:
-                    verify_ncnn_variant_topology(
-                        param_layers, ncnn_variant,
-                        input_size=args.det_input_size,
-                    )
+                ok = False
+                for sz in probe_sizes:
+                    try:
+                        verify_ncnn_variant_topology(
+                            param_layers, ncnn_variant, input_size=sz
+                        )
+                        ok = True
+                        break
+                    except ValueError:
+                        continue
+                if ok:
                     inferred_variant = cli_name
                     break
-                except ValueError:
-                    continue
             if inferred_variant is None:
                 print(
                     f"error: --detector_param: {err_plus}", file=sys.stderr
