@@ -70,6 +70,16 @@ def decode_candidates(
     anchors (it fuses into the head-output reduction) but only 4-wide
     distance rows are gathered.
 
+    Measured dead-end (round 5, do not retry): gathering the 64-wide reg
+    rows for the K candidates first and running DFL on (B, K, 64) only wins
+    the STANDALONE microbench (1.75 vs 2.06 ms at B=128/A=8400/K=64) but
+    LOSES 0.5 ms in the full fused program (15.12 vs 14.62 ms back-to-back
+    on-chip): in-program XLA fuses the all-anchor softmax-expectation into
+    the head's output epilogue, while gather-first inserts an unfusable
+    64-wide gather between the head matmuls and the decode.  The stage
+    split's 0.85 ms "decode" row is the fused epilogue cost, not removable
+    by decode reordering.
+
     ``selector="approx"`` swaps the exact sort-based ``top_k`` for the
     TPU-native partial-reduce ``approx_max_k`` (recall_target 0.95): a
     serving knob measured 0.12 vs 0.31 ms at B=128/A=8400/K=64 on-chip.
