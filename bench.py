@@ -75,6 +75,10 @@ def main() -> None:
     # Parity/eval paths keep "exact".
     p.add_argument("--candidate-selector", default="approx",
                    choices=["exact", "approx"])
+    # images vectorised per sequential step of the dense ROI crop
+    # (PipelineConfig.roi_chunk; on-chip A/Bs at the D=8 serving budget:
+    # 8 = 14.62 ms/batch headline, 16 and 4 both lose — see types.py)
+    p.add_argument("--roi-chunk", type=int, default=8)
     p.add_argument(
         "--profile", default=None, metavar="DIR",
         help="capture a jax.profiler trace of the timed run into DIR",
@@ -129,6 +133,7 @@ def main() -> None:
         cls_crop_budget=budget,
         crop_det_budget=args.crop_det_budget,
         candidate_selector=args.candidate_selector,
+        roi_chunk=args.roi_chunk,
     )
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     progress(f"initializing pipeline (device={jax.devices()[0]})")
